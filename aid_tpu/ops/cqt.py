@@ -1,0 +1,339 @@
+"""Invertible octave-banded Constant-Q transform (CQT-NSGT) in JAX.
+
+TPU-native re-design of the DSP core the reference delegates to the external
+``cqt_nsgt_pytorch`` package (reference networks/unet_cqt_oct_with_projattention_adaLN_2.py:9
+imports it, :620 instantiates ``CQT_nsgt(num_octs, bins_per_oct, mode="oct",
+window, fs, audio_len, ...)``; used at :743 ``.fwd``, :841 ``.bwd``, and
+diff_params/edm.py:184 / testing/edm_sampler_inpainting.py:63 ``.apply_hpf_DC``).
+
+Mathematical basis: painless nonstationary Gabor frames (Balazs, Dorfler,
+Holighaus et al., "Theory, implementation and applications of nonstationary
+Gabor frames"; Velasco et al., "Constructing an invertible constant-Q transform
+with nonstationary Gabor frames"). Frequency-side windows g_k are compactly
+supported bumps centered at geometrically spaced frequencies
+f_k = fmin * 2^(k/B), fmin = (fs/2) / 2^num_octs. Band k's coefficients are
+
+    c_k = ifft_{M_k}( X[support_k] * g_k )        with X = fft(x),
+
+where M_k >= |support_k| (painless case). All bins in one octave share the same
+time resolution M_j, and M_j halves per octave downward — so the transform is a
+list of dense rectangular [bins_per_oct, M_j] complex arrays, one per octave,
+exactly the ragged-but-static structure the octave U-Net consumes
+(reference networks:743-830).
+
+Perfect reconstruction (for real signals, positive-frequency bands only):
+with U_k = fft(c_k) = X*g_k (painless) the synthesis
+
+    Y[f] = sum_k U_k[f] w_k[f] + conj( sum_k U_k[-f] w_k[-f] ),
+    w_k = g_k / D,   D[f] = sum_k ( g_k[f]^2 + g_k[(-f) mod Ls]^2 ),
+
+satisfies Y = X exactly wherever D > 0 (covered [0, Nyquist] including the DC
+and Nyquist bands). The DC and Nyquist bands are carried separately
+("complete" variants) and are *excluded* from the network-facing fwd/bwd, which
+is why the reference applies ``apply_hpf_DC`` to targets (edm.py:181-186) and
+sampler outputs (edm_sampler_inpainting.py:62-63): here that operator reduces to
+one precomputed real frequency mask (painless analysis+synthesis over a band
+subset is diagonal in frequency), i.e. a single rfft -> mask -> irfft.
+
+TPU-first design notes:
+  * All index arrays and window matrices are static (precomputed with numpy at
+    design time) — fwd is fft + gather + multiply + per-octave ifft; bwd is
+    per-octave fft + scatter-add + ifft. No data-dependent shapes, everything
+    jit/scan/grad friendly.
+  * Internal FFT length Ls pads audio_len up to a 2^(num_octs+5)-multiple with a
+    {2,3,5,7}-smooth multiplier, keeping XLA's FFT fast and making every octave
+    length M_j an exact power-of-two multiple of the deepest one (the U-Net's
+    2x time up/downsampling relies on M_{j+1} = 2 M_j; cf. reference networks:18
+    "powers of 2 for the time sizes").
+  * Coefficients use "white" normalization: each band scaled so white noise of
+    variance s^2 yields coefficients of variance s^2 (keeps activations on the
+    same scale as the waveform, so sigma_data stays meaningful inside the net).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _next_smooth(n: int) -> int:
+    """Smallest integer >= n whose prime factors are all in {2,3,5,7}."""
+    def is_smooth(m: int) -> bool:
+        for p in (2, 3, 5, 7):
+            while m % p == 0:
+                m //= p
+        return m == 1
+
+    while not is_smooth(n):
+        n += 1
+    return n
+
+
+def _window(kind, x: np.ndarray) -> np.ndarray:
+    """Symmetric window on x in [-0.5, 0.5]; zero outside."""
+    inside = np.abs(x) <= 0.5
+    if isinstance(kind, (tuple, list)):
+        name, beta = kind[0], float(kind[1])
+    else:
+        name, beta = kind, 0.0
+    if name == "hann":
+        w = 0.5 + 0.5 * np.cos(2 * np.pi * x)
+    elif name == "kaiser":
+        arg = np.clip(1.0 - (2.0 * x) ** 2, 0.0, None)
+        w = np.i0(beta * np.sqrt(arg)) / np.i0(beta)
+    elif name == "blackharr":
+        w = (0.35872 + 0.48832 * np.cos(2 * np.pi * x)
+             + 0.14128 * np.cos(4 * np.pi * x) + 0.01168 * np.cos(6 * np.pi * x))
+    else:
+        raise ValueError(f"unknown window {kind!r}")
+    return np.where(inside, w, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class _Band:
+    center: int          # FFT-bin index of the window peak (mod Ls)
+    offsets: np.ndarray  # int offsets o (signed); support positions are (center+o) mod Ls
+    win: np.ndarray      # scaled analysis window a_k sampled at offsets
+    M: int               # temporal length (ifft size) for this band
+
+
+class CQT:
+    """Octave-mode invertible CQT. API mirrors the reference's CQT_nsgt usage.
+
+    fwd(x[..., T])  -> list (low octave -> high octave) of complex [..., bins, M_j]
+    bwd(list)       -> [..., Ls] real (caller crops to T, cf. reference networks:843)
+    apply_hpf_DC(x) -> x band-limited to the octave bands (DC + Nyquist removed)
+    """
+
+    def __init__(
+        self,
+        num_octs: int,
+        bins_per_oct: int,
+        fs: float,
+        audio_len: int,
+        window="hann",
+        dtype=jnp.float32,
+    ):
+        self.num_octs = num_octs
+        self.bins_per_oct = bins_per_oct
+        self.fs = float(fs)
+        self.audio_len = int(audio_len)
+        self.dtype = dtype
+        ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+
+        O, B = num_octs, bins_per_oct
+        base = 2 ** (O + 5)
+        mult = _next_smooth(max(1, math.ceil(audio_len / base)))
+        Ls = mult * base
+        self.Ls = Ls
+
+        nyq_hz = self.fs / 2.0
+        fmin = nyq_hz / (2.0 ** O)
+        K = O * B
+        # Geometric bin frequencies + flanking edges (f_{-1}, f_K) in Hz.
+        f = fmin * 2.0 ** (np.arange(-1, K + 1) / B)  # length K+2; f[0]=f_{-1}
+        f[-1] = min(f[-1], nyq_hz)
+        to_bin = Ls / self.fs  # Hz -> fractional FFT bin
+
+        bands: List[_Band] = []
+        for k in range(K):
+            lo_hz, c_hz, hi_hz = f[k], f[k + 1], f[k + 2]
+            c = int(round(c_hz * to_bin))
+            lo = int(math.ceil(lo_hz * to_bin))
+            hi = int(math.floor(hi_hz * to_bin))
+            offs = np.arange(lo, hi + 1) - c
+            x = (np.arange(lo, hi + 1) - c_hz * to_bin) / ((hi_hz - lo_hz) * to_bin)
+            bands.append(_Band(c, offs, _window(window, x), 0))
+
+        # Per-octave time resolution: power of two, halving per octave down.
+        need_top = 1
+        for j in range(O):
+            max_lg = max(len(bands[j * B + b].offsets) for b in range(B))
+            need_top = max(need_top, max_lg * 2 ** (O - 1 - j))
+        M_top = 1 << (need_top - 1).bit_length()
+        self.M = [M_top // 2 ** (O - 1 - j) for j in range(O)]  # per octave, low->high
+        for j in range(O):
+            for b in range(B):
+                k = j * B + b
+                assert len(bands[k].offsets) <= self.M[j], "painless condition violated"
+                bands[k] = dataclasses.replace(bands[k], M=self.M[j])
+
+        # DC band: centered at 0, support (-f_0, f_0).
+        b0 = f[1] * to_bin
+        lo, hi = int(math.ceil(-b0)) + 1, int(math.floor(b0)) - 1
+        offs = np.arange(lo, hi + 1)
+        dc_win = _window(window, offs / (2.0 * b0))
+        M_dc = 1 << (len(offs) - 1).bit_length()
+        dc = _Band(0, offs, dc_win, M_dc)
+
+        # Nyquist band: centered at Ls/2, support (bin(f_{K-1}), Ls - bin(f_{K-1})).
+        c_nyq = Ls // 2
+        bK = f[K] * to_bin  # last bin center in fractional bins
+        half = c_nyq - bK
+        lo, hi = int(math.ceil(bK)) + 1, int(math.floor(2 * c_nyq - bK)) - 1
+        offs = np.arange(lo, hi + 1) - c_nyq
+        nyq_win = _window(window, offs / (2.0 * half))
+        M_nyq = 1 << (len(offs) - 1).bit_length()
+        nyq = _Band(c_nyq, offs, nyq_win, M_nyq)
+
+        all_bands = [dc] + bands + [nyq]
+
+        # "White" normalization: scale each band so white noise keeps its variance.
+        #   E|c|^2 = (Ls / M^2) * sum(g^2) * s^2  ->  want sum(a^2) = M^2 / Ls.
+        for i, bd in enumerate(all_bands):
+            s = bd.M / math.sqrt(Ls * float(np.sum(bd.win ** 2)))
+            all_bands[i] = dataclasses.replace(bd, win=bd.win * s)
+        dc, bands, nyq = all_bands[0], all_bands[1:-1], all_bands[-1]
+
+        # Frame diagonal D over the full grid (direct + mirrored contributions).
+        D = np.zeros(Ls)
+        for bd in all_bands:
+            pos = (bd.center + bd.offsets) % Ls
+            D[pos] += bd.win ** 2
+            D[(-pos) % Ls] += bd.win ** 2
+        self._D = D
+        cov = D[: Ls // 2 + 1]
+        assert np.all(cov > 1e-10), "frame not invertible: uncovered frequencies"
+
+        # Static per-octave gather indices / window matrices (analysis + synthesis).
+        def pack(group: Sequence[_Band], M: int):
+            n = len(group)
+            idx = np.zeros((n, M), np.int32)
+            wa = np.zeros((n, M), np.float64)
+            ws = np.zeros((n, M), np.float64)
+            for b, bd in enumerate(group):
+                slots = bd.offsets % M
+                assert len(np.unique(slots)) == len(slots), "painless violated (fold)"
+                pos = (bd.center + bd.offsets) % Ls
+                idx[b, slots] = pos
+                wa[b, slots] = bd.win
+                ws[b, slots] = bd.win / D[pos]
+            return idx, wa, ws
+
+        self._oct_idx, self._oct_wa, self._oct_ws = [], [], []
+        for j in range(O):
+            idx, wa, ws = pack(bands[j * B:(j + 1) * B], self.M[j])
+            self._oct_idx.append(jnp.asarray(idx))
+            self._oct_wa.append(jnp.asarray(wa, dtype))
+            self._oct_ws.append(jnp.asarray(ws, dtype))
+        idx, wa, ws = pack([dc], dc.M)
+        self._dc = (jnp.asarray(idx), jnp.asarray(wa, dtype), jnp.asarray(ws, dtype), dc.M)
+        idx, wa, ws = pack([nyq], nyq.M)
+        self._nyq = (jnp.asarray(idx), jnp.asarray(wa, dtype), jnp.asarray(ws, dtype), nyq.M)
+
+        # apply_hpf_DC: band-subset analysis+synthesis is a diagonal frequency
+        # mask in the painless case; precompute it on the rfft half-spectrum.
+        mask = np.zeros(Ls)
+        for bd in bands:
+            pos = (bd.center + bd.offsets) % Ls
+            mask[pos] += bd.win ** 2 / D[pos]
+            mpos = (-pos) % Ls
+            mask[mpos] += bd.win ** 2 / D[mpos]
+        self._hpf_mask = jnp.asarray(mask[: Ls // 2 + 1], dtype)
+
+        self._mirror = jnp.asarray((-np.arange(Ls)) % Ls, jnp.int32)
+        self._ctype = ctype
+
+    # ------------------------------------------------------------------ fwd
+    def _pad(self, x: jnp.ndarray) -> jnp.ndarray:
+        T = x.shape[-1]
+        if T > self.Ls:
+            raise ValueError(
+                f"input length {T} exceeds the designed transform length Ls={self.Ls} "
+                f"(audio_len={self.audio_len}); build a CQT for the longer signal")
+        if T < self.Ls:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, self.Ls - T)]
+            x = jnp.pad(x, pad)
+        return x
+
+    def fwd(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        """Analysis. x: real [..., T<=Ls] -> list low->high octave of [..., bins, M_j]."""
+        X = jnp.fft.fft(self._pad(x).astype(self.dtype))
+        out = []
+        for j in range(self.num_octs):
+            V = jnp.take(X, self._oct_idx[j], axis=-1) * self._oct_wa[j]
+            out.append(jnp.fft.ifft(V, axis=-1))
+        return out
+
+    def fwd_complete(self, x: jnp.ndarray):
+        """Analysis including DC and Nyquist bands: (dc, octave_list, nyq)."""
+        X = jnp.fft.fft(self._pad(x).astype(self.dtype))
+        octs = []
+        for j in range(self.num_octs):
+            V = jnp.take(X, self._oct_idx[j], axis=-1) * self._oct_wa[j]
+            octs.append(jnp.fft.ifft(V, axis=-1))
+        dc = jnp.fft.ifft(jnp.take(X, self._dc[0], axis=-1) * self._dc[1], axis=-1)
+        nyq = jnp.fft.ifft(jnp.take(X, self._nyq[0], axis=-1) * self._nyq[1], axis=-1)
+        return dc, octs, nyq
+
+    # ------------------------------------------------------------------ bwd
+    def _accumulate(self, S, coeffs, idx, ws):
+        # S is a float pair [..., Ls, 2]: complex scatter-add is unimplemented on
+        # the TPU backend, so real/imag are accumulated as two f32 scatters.
+        U = jnp.fft.fft(coeffs, axis=-1) * ws
+        S = S.at[..., idx, 0].add(U.real)
+        return S.at[..., idx, 1].add(U.imag)
+
+    def _finish(self, S: jnp.ndarray) -> jnp.ndarray:
+        Sc = jax.lax.complex(S[..., 0], S[..., 1])
+        Z = Sc + jnp.conj(jnp.take(Sc, self._mirror, axis=-1))
+        return jnp.fft.ifft(Z).real.astype(self.dtype)
+
+    def bwd(self, coeffs: List[jnp.ndarray]) -> jnp.ndarray:
+        """Synthesis from octave bands only -> real [..., Ls] (band-limited)."""
+        lead = coeffs[0].shape[:-2]
+        S = jnp.zeros(lead + (self.Ls, 2), self.dtype)
+        for j in range(self.num_octs):
+            S = self._accumulate(S, coeffs[j], self._oct_idx[j], self._oct_ws[j])
+        return self._finish(S)
+
+    def bwd_complete(self, dc, coeffs, nyq) -> jnp.ndarray:
+        lead = coeffs[0].shape[:-2]
+        S = jnp.zeros(lead + (self.Ls, 2), self.dtype)
+        for j in range(self.num_octs):
+            S = self._accumulate(S, coeffs[j], self._oct_idx[j], self._oct_ws[j])
+        S = self._accumulate(S, dc, self._dc[0], self._dc[2])
+        S = self._accumulate(S, nyq, self._nyq[0], self._nyq[2])
+        return self._finish(S)
+
+    # ------------------------------------------------------------------ hpf
+    def apply_hpf_DC(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Remove DC-band and Nyquist-band content (one rfft -> mask -> irfft).
+
+        Semantics of the reference's ``CQTransform.apply_hpf_DC`` (used at
+        diff_params/edm.py:184, testing/edm_sampler_inpainting.py:62-63): project
+        onto the octave-band subspace so un-modeled DC/Nyquist content does not
+        leak into losses or guidance norms. Exact equivalent of
+        bwd(fwd(x)) in the painless case, at a fraction of the cost.
+        """
+        T = x.shape[-1]
+        X = jnp.fft.rfft(self._pad(x).astype(self.dtype))
+        y = jnp.fft.irfft(X * self._hpf_mask, n=self.Ls)
+        return y[..., :T].astype(self.dtype)
+
+    # ---------------------------------------------------------------- info
+    @property
+    def octave_lengths(self) -> List[int]:
+        return list(self.M)
+
+    def __repr__(self) -> str:
+        return (f"CQT(num_octs={self.num_octs}, bins_per_oct={self.bins_per_oct}, "
+                f"fs={self.fs}, audio_len={self.audio_len}, Ls={self.Ls}, M={self.M})")
+
+
+_CACHE: dict = {}
+
+
+def get_cqt(num_octs: int, bins_per_oct: int, fs: float, audio_len: int,
+            window="hann", dtype=jnp.float32) -> CQT:
+    """Cached CQT construction (window design is pure host-side numpy)."""
+    if isinstance(window, list):
+        window = tuple(window)
+    key = (num_octs, bins_per_oct, float(fs), int(audio_len), window, str(dtype))
+    if key not in _CACHE:
+        _CACHE[key] = CQT(num_octs, bins_per_oct, fs, audio_len, window, dtype)
+    return _CACHE[key]
