@@ -1,0 +1,477 @@
+"""Octave-CQT U-Net denoiser backbone (Flax), TPU-first layout.
+
+Functional re-design of the reference backbone
+``Unet_CQT_oct_with_attention`` (reference
+networks/unet_cqt_oct_with_projattention_adaLN_2.py:583-845). Same computation
+graph — checkpoint-convertible block for block — but engineered for TPU:
+
+  * channels-LAST activations [B, F, T, C] so the channel dim maps onto MXU
+    lanes (the reference uses torch NCHW);
+  * every conv is ``lax.conv_general_dilated`` with static shapes; attention
+    QK projections are plain matmuls (kernel-size-1 convs);
+  * per-octave time axes are exact powers of two (guaranteed by
+    aid_tpu.ops.cqt), so the FIR 2x resamplers and the encoder/decoder
+    concatenations are all static-shape ops XLA can fuse;
+  * norms/softmax run in f32 regardless of the compute dtype (bf16-safe).
+
+Architecture map (reference file:line):
+  RFFEmbedding           <- RFF_MLP_Block              networks:167-211
+  BiasFreeGroupNorm      <- BiasFreeGroupNorm (ddof=1!) networks:137-163
+  FreqEncodingRFF        <- AddFreqEncodingRFF         networks:213-263
+  RelPositionBias        <- RelativePositionBias       networks:266-312
+  TimeAttention          <- TimeAttentionBlock         networks:314-380
+  AdaLNResBlock          <- ResnetBlock                networks:382-493
+  resample_time          <- UpDownResample             networks:510-580
+  UnetCQT                <- Unet_CQT_oct_with_attention networks:583-845
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from aid_tpu.ops.cqt import CQT, get_cqt
+
+# --------------------------------------------------------------------------
+# Initializers: reference uses kaiming_uniform scaled by sqrt(1/3) on the main
+# path and by 1e-7 on gates (networks:20-25, :611-612 — "same as ADM").
+# kaiming_uniform(fan_in) * s  ==  U(-1,1) * sqrt(3/fan_in) * s.
+
+
+def scaled_uniform(scale: float):
+    def init(key, shape, dtype=jnp.float32):
+        if len(shape) == 2:          # dense: (in, out)
+            fan_in = shape[0]
+        else:                        # conv HWIO: (kh, kw, in, out) or (kw, in, out)
+            fan_in = int(np.prod(shape[:-1]))
+        bound = math.sqrt(3.0 / fan_in) * scale
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+INIT_MAIN = scaled_uniform(math.sqrt(1.0 / 3.0))
+INIT_GATE = scaled_uniform(1e-7)
+
+
+class Dense(nn.Module):
+    """Linear with reference init: weights kaiming-uniform, bias starts at 0."""
+    features: int
+    scale: float = math.sqrt(1.0 / 3.0)
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", scaled_uniform(self.scale), (x.shape[-1], self.features))
+        y = jnp.dot(x.astype(self.dtype), k.astype(self.dtype))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class Conv2dFT(nn.Module):
+    """Bias-free conv over (F, T) with freq dilation; input [B, F, T, C]."""
+    features: int
+    kernel: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    scale: float = math.sqrt(1.0 / 3.0)
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        w = self.param("kernel", scaled_uniform(self.scale),
+                       (kh, kw, x.shape[-1], self.features))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(1, 1), padding="SAME",
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class BiasFreeGroupNorm(nn.Module):
+    """x / (std + eps) * gamma, std over (group-channels, F, T), NO mean removal.
+
+    Matches reference networks:137-163 exactly, including the Bessel correction
+    (torch ``.std`` defaults to ddof=1) — a checkpoint-parity gotcha flagged in
+    SURVEY.md section 7. Always computed in f32.
+    """
+    num_groups: int = 8
+    eps: float = 1e-7
+
+    @nn.compact
+    def __call__(self, x):
+        B, F, T, C = x.shape
+        g = self.num_groups
+        gamma = self.param("gamma", nn.initializers.ones_init(), (C,))
+        xf = x.astype(jnp.float32).reshape(B, F, T, g, C // g)
+        n = F * T * (C // g)
+        mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+        var = jnp.sum((xf - mean) ** 2, axis=(1, 2, 4), keepdims=True) / (n - 1)
+        std = jnp.sqrt(var)
+        y = (xf / (std + self.eps)).reshape(B, F, T, C)
+        return (y * gamma.astype(jnp.float32)).astype(x.dtype)
+
+
+class RFFEmbedding(nn.Module):
+    """Noise-level embedding: fixed random Fourier features + 3-layer ReLU MLP.
+
+    Reference RFF_MLP_Block networks:167-211. The 32 RFF frequencies are drawn
+    once (16 * N(0,1)) and FROZEN (requires_grad=False there); here the param is
+    wrapped in stop_gradient so a plain optimizer never moves it while it still
+    lives in the checkpoint.
+    """
+    emb_dim: int = 256
+    rff_dim: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cnoise):  # cnoise: [B, 1]
+        freqs = self.param("rff_freq", lambda k, s: 16.0 * jax.random.normal(k, s),
+                           (1, self.rff_dim))
+        freqs = jax.lax.stop_gradient(freqs)
+        table = 2.0 * jnp.pi * cnoise.astype(jnp.float32) * freqs
+        x = jnp.concatenate([jnp.sin(table), jnp.cos(table)], axis=-1)
+        for i, feat in enumerate([128, 256, self.emb_dim]):
+            x = nn.relu(Dense(feat, dtype=self.dtype, name=f"mlp_{i}")(x))
+        return x  # [B, emb_dim]
+
+
+class FreqEncodingRFF(nn.Module):
+    """Fixed RFF frequency-positional channels, concatenated per octave.
+
+    Reference AddFreqEncodingRFF networks:213-263 (only used when
+    ``use_fencoding`` is on; flagship config has it off).
+    """
+    f_dim: int
+    n_freq: int = 32
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, F, T, C]
+        freqs = self.param("rff_freq", lambda k, s: 16.0 * jax.random.normal(k, s),
+                           (1, self.n_freq))
+        freqs = jax.lax.stop_gradient(freqs)
+        pos = jnp.arange(self.f_dim, dtype=jnp.float32)[None, None, :]
+        table = 2.0 * jnp.pi * pos * freqs[..., None]          # [1, n, F]
+        emb = jnp.concatenate([jnp.sin(table), jnp.cos(table)], axis=1)  # [1, 2n, F]
+        B, F, T, _ = x.shape
+        emb = jnp.broadcast_to(emb.transpose(0, 2, 1)[:, :, None, :], (B, F, T, 2 * self.n_freq))
+        return jnp.concatenate([x, emb.astype(x.dtype)], axis=-1)
+
+
+class RelPositionBias(nn.Module):
+    """T5-style bucketed relative position bias (reference networks:266-312)."""
+    num_buckets: int
+    max_distance: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, n_q: int, n_k: int):
+        q_pos = jnp.arange(n_k - n_q, n_k)
+        k_pos = jnp.arange(n_k)
+        rel = k_pos[None, :] - q_pos[:, None]
+        nb = self.num_buckets // 2
+        ret = (rel >= 0).astype(jnp.int32) * nb
+        n = jnp.abs(rel)
+        max_exact = nb // 2
+        is_small = n < max_exact
+        val_large = max_exact + (
+            jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+            / math.log(self.max_distance / max_exact) * (nb - max_exact)
+        ).astype(jnp.int32)
+        val_large = jnp.minimum(val_large, nb - 1)
+        buckets = ret + jnp.where(is_small, n, val_large)
+        table = self.param("embedding", nn.initializers.normal(1.0),
+                           (self.num_buckets, self.num_heads))
+        bias = table[buckets]                      # [Tq, Tk, H]
+        return bias.transpose(2, 0, 1)[None]       # [1, H, Tq, Tk]
+
+
+class TimeAttention(nn.Module):
+    """Projection attention along time (reference TimeAttentionBlock networks:314-380).
+
+    Channels are first collapsed to ``num_heads`` via a 1x1 conv; frequency is
+    folded into the head feature dim; V is the identity of that projection.
+    Softmax(QK^T * Fdim^-0.5) runs in f32.
+    """
+    channels: int
+    fdim: int
+    num_heads: int = 8
+    bias_qkv: bool = False
+    use_rel_pos: bool = False
+    rel_pos_num_buckets: int = 32
+    rel_pos_max_distance: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, F, T, C]
+        B, F, T, C = x.shape
+        H = self.num_heads
+        h = Conv2dFT(H, (1, 1), dtype=self.dtype, name="proj_in")(x)   # [B, F, T, H]
+        # h-major channel packing (h f), as in the reference rearranges.
+        z = h.transpose(0, 2, 3, 1).reshape(B, T, H * F)               # [B, T, (h f)]
+        v = z.reshape(B, T, H, F).transpose(0, 2, 1, 3)                # [B, H, T, F]
+        qk = Dense(2 * H * F, scale=math.sqrt(1 / 3), use_bias=self.bias_qkv,
+                   dtype=self.dtype, name="qk")(z)                     # [B, T, (h 2F)]
+        qk = qk.reshape(B, T, H, 2 * F).transpose(0, 2, 1, 3)          # [B, H, T, 2F]
+        q, k = jnp.split(qk, 2, axis=-1)
+        sim = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32),
+                         k.astype(jnp.float32))
+        if self.use_rel_pos:
+            sim = sim + RelPositionBias(self.rel_pos_num_buckets,
+                                        self.rel_pos_max_distance, H,
+                                        name="rel_pos")(T, T)
+        sim = sim * (float(F) ** -0.5)
+        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)                   # [B, H, T, F]
+        out = out.transpose(0, 3, 2, 1)                                # [B, F, T, H]
+        return Conv2dFT(C, (1, 1), dtype=self.dtype, name="proj_out")(out)
+
+
+class AdaLNResBlock(nn.Module):
+    """Dilated freq-conv stack with adaLN sigma-conditioning (reference ResnetBlock
+    networks:382-493): per-layer ``x*(affine(emb)+1)`` scale and zero-init
+    ``gate(emb)`` output scale, residuals divided by sqrt(2); optional
+    projection-attention sub-block before the conv stack.
+    """
+    dim_out: int
+    num_dils: int = 6
+    kernel: Tuple[int, int] = (5, 3)
+    use_norm: bool = True
+    proj_place: str = "before"   # 'after' in decoder out-blocks
+    attention: Optional[dict] = None
+    fdim: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):  # x: [B, F, T, C], emb: [B, E]
+        dim_in = x.shape[-1]
+        N = self.dim_out if self.proj_place == "before" else dim_in
+        h = Conv2dFT(N, (1, 1), dtype=self.dtype, name="proj_in")(x) if dim_in != N else x
+
+        if self.attention is not None:
+            a = self.attention
+            i_h = h
+            gamma = Dense(N, dtype=self.dtype, name="affine_attn")(emb)
+            scale = Dense(N, scale=1e-7, dtype=self.dtype, name="gate_attn")(emb)
+            if self.use_norm:
+                h = BiasFreeGroupNorm(name="norm_attn")(h)
+            h = h * (gamma[:, None, None, :] + 1.0)
+            h = TimeAttention(
+                channels=N, fdim=self.fdim, num_heads=a.get("num_heads", 8),
+                bias_qkv=a.get("bias_qkv", False),
+                use_rel_pos=a.get("use_rel_pos", False),
+                rel_pos_num_buckets=a.get("rel_pos_num_buckets", 32),
+                rel_pos_max_distance=a.get("rel_pos_max_distance", 64),
+                dtype=self.dtype, name="attn")(h) * scale[:, None, None, :]
+            h = (h + i_h) / math.sqrt(2.0)
+
+        for i in range(self.num_dils):
+            h0 = h
+            if self.use_norm:
+                h = BiasFreeGroupNorm(name=f"norm_{i}")(h)
+            gamma = Dense(N, dtype=self.dtype, name=f"affine_{i}")(emb)
+            scale = Dense(N, scale=1e-7, dtype=self.dtype, name=f"gate_{i}")(emb)
+            h = h * (gamma[:, None, None, :] + 1.0)
+            h = Conv2dFT(N, self.kernel, dilation=(2 ** i, 1), dtype=self.dtype,
+                         name=f"conv_{i}")(jax.nn.gelu(h, approximate=False))
+            h = (h0 + h * scale[:, None, None, :]) / math.sqrt(2.0)
+
+        if self.proj_place == "after" and N != self.dim_out:
+            h = Conv2dFT(self.dim_out, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        res = (Conv2dFT(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
+               if dim_in != self.dim_out else x)
+        return (h + res) / math.sqrt(2.0)
+
+
+# --------------------------------------------------------------------------
+# FIR polyphase 2x time resampling (reference UpDownResample networks:510-580).
+# Same kernels, same reflect padding, same (un)normalized transpose-conv gain:
+# the upsampler's per-phase DC gain is 0.5 by design there — preserved, since
+# trained decoders compensate for it.
+
+_FIR_KERNELS = {
+    "linear": [1 / 8, 3 / 8, 3 / 8, 1 / 8],
+    "cubic": [-0.01171875, -0.03515625, 0.11328125, 0.43359375,
+              0.43359375, 0.11328125, -0.03515625, -0.01171875],
+    "lanczos3": [0.003689131001010537, 0.015056144446134567, -0.03399861603975296,
+                 -0.066637322306633, 0.13550527393817902, 0.44638532400131226,
+                 0.44638532400131226, 0.13550527393817902, -0.066637322306633,
+                 -0.03399861603975296, 0.015056144446134567, 0.003689131001010537],
+}
+
+
+def resample_time(x: jnp.ndarray, up: bool, kernel: str = "cubic") -> jnp.ndarray:
+    """2x FIR up/down-sampling along the T axis of [B, F, T, C] (or [..., T] last-dim
+    for 1D signals reshaped by the caller). Polyphase, reflect-padded."""
+    taps = jnp.asarray(_FIR_KERNELS[kernel], x.dtype)
+    k = taps.shape[0]
+    pad = k // 2 - 1
+    B, F, T, C = x.shape
+    # collapse everything but T into the batch dim; single-channel 1D conv
+    z = x.transpose(0, 1, 3, 2).reshape(B * F * C, T, 1)
+    if not up:
+        z = jnp.pad(z, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+        w = taps[:, None, None]                       # (k, in=1, out=1)
+        y = jax.lax.conv_general_dilated(
+            z, w, window_strides=(2,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        Tn = T // 2
+    else:
+        z = jnp.pad(z, ((0, 0), ((pad + 1) // 2,) * 2, (0, 0)), mode="reflect")
+        w = taps[::-1][:, None, None]
+        y = jax.lax.conv_general_dilated(
+            z, w, window_strides=(1,), padding=[(0, 0)],
+            lhs_dilation=(2,), dimension_numbers=("NWC", "WIO", "NWC"))
+        Tn = 2 * T
+    assert y.shape[1] == Tn, (y.shape, Tn)
+    return y.reshape(B, F, C, Tn).transpose(0, 1, 3, 2)
+
+
+# --------------------------------------------------------------------------
+
+
+class UnetCQT(nn.Module):
+    """The full octave U-Net denoiser (reference forward networks:730-845).
+
+    __call__(audio [B, T], cnoise [B, 1]) -> audio [B, T]. The CQT transform is
+    a static (non-learned) member: its index tables compile into the program.
+    """
+    cqt: CQT
+    Ns: Sequence[int]
+    num_dils: Sequence[int]
+    attention_layers: Sequence[int]
+    attention: dict
+    emb_dim: int = 256
+    use_norm: bool = True
+    use_fencoding: bool = False
+    num_bottleneck_layers: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio: jnp.ndarray, cnoise: jnp.ndarray) -> jnp.ndarray:
+        O = self.cqt.num_octs
+        bins = self.cqt.bins_per_oct
+        emb = RFFEmbedding(self.emb_dim, dtype=self.dtype, name="embedding")(cnoise)
+
+        # analysis: list low->high octave of complex [B, 1, bins, M_j]
+        X_list = self.cqt.fwd(audio[:, None, :])
+
+        def to_real(c):  # complex [B,1,bins,M] -> [B, F=bins, T=M, C=2]
+            r = jnp.stack([c.real, c.imag], axis=-1)[:, 0]
+            return r.astype(self.dtype)
+
+        def attn_cfg(flag):
+            return dict(self.attention) if flag else None
+
+        hs = []
+        X = None
+        pyr = None
+        for i in range(O):
+            C = to_real(X_list[O - 1 - i])
+            C2 = (FreqEncodingRFF(bins, name=f"fenc_{i}")(C)
+                  if self.use_fencoding else C)
+            C2 = AdaLNResBlock(
+                dim_out=self.Ns[i] if i == 0 else self.Ns[i - 1],
+                num_dils=1, kernel=(1, 1), use_norm=self.use_norm,
+                dtype=self.dtype, name=f"down_{i}_init")(C2, emb)
+            if i == 0:
+                X = C2
+                pyr = resample_time(C, up=False)
+            elif i < O - 1:
+                pyr = jnp.concatenate(
+                    [resample_time(C, up=False), resample_time(pyr, up=False)], axis=1)
+                X = jnp.concatenate([C2, X], axis=1)
+            else:  # deepest octave: no time downsampling
+                pyr = jnp.concatenate([C, pyr], axis=1)
+                X = jnp.concatenate([C2, X], axis=1)
+
+            X = AdaLNResBlock(
+                dim_out=self.Ns[i], num_dils=self.num_dils[i],
+                use_norm=self.use_norm, attention=attn_cfg(self.attention_layers[i]),
+                fdim=(i + 1) * bins, dtype=self.dtype, name=f"down_{i}_res")(X, emb)
+            hs.append(X)
+            if i < O - 1:
+                X = resample_time(X, up=False)
+            X = (X + Conv2dFT(self.Ns[i], (5, 3), dtype=self.dtype,
+                              name=f"down_{i}_pyr")(pyr)) / math.sqrt(2.0)
+
+        # bottleneck
+        Xout = None
+        for m in range(self.num_bottleneck_layers):
+            X = AdaLNResBlock(
+                dim_out=self.Ns[-1], num_dils=self.num_dils[-1],
+                use_norm=self.use_norm,
+                attention=attn_cfg(self.attention_layers[-1]),
+                fdim=O * bins, dtype=self.dtype, name=f"mid_{m}_res")(X, emb)
+            Xout = AdaLNResBlock(
+                dim_out=2, num_dils=1, kernel=(1, 1), use_norm=self.use_norm,
+                proj_place="after", dtype=self.dtype, name=f"mid_{m}_out")(X, emb)
+
+        # decoder: peel one octave per level back to complex coefficients
+        X_out_list = [None] * O
+        for i in range(O):
+            oct_idx = O - 1 - i  # octave-construction index of this level
+            skip = hs.pop()
+            X = jnp.concatenate([X, skip], axis=-1)
+            X = AdaLNResBlock(
+                dim_out=self.Ns[oct_idx - 1] if oct_idx > 0 else self.Ns[0],
+                num_dils=self.num_dils[oct_idx], use_norm=self.use_norm,
+                attention=attn_cfg(self.attention_layers[oct_idx]),
+                fdim=(oct_idx + 1) * bins, dtype=self.dtype,
+                name=f"up_{i}_res")(X, emb)
+            Xout = (Xout + AdaLNResBlock(
+                dim_out=2, num_dils=1, kernel=(1, 1), use_norm=self.use_norm,
+                proj_place="after", dtype=self.dtype,
+                name=f"up_{i}_out")(X, emb)) / math.sqrt(2.0)
+
+            out_rows, Xout = Xout[:, :bins], Xout[:, bins:]
+            X = X[:, bins:]
+            r = out_rows.astype(jnp.float32)
+            X_out_list[i] = jax.lax.complex(r[..., 0], r[..., 1])[:, None]  # [B,1,bins,M]
+            if i < O - 1:
+                X = resample_time(X, up=True)
+                Xout = resample_time(Xout, up=True)
+
+        pred = self.cqt.bwd(X_out_list)[:, 0]
+        return pred[:, : audio.shape[-1]].astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+
+
+def build_unet(args, device=None) -> UnetCQT:
+    """Factory with the reference constructor contract (args tree + device),
+    resolved by the registry from the config's ``callable:`` key
+    (reference utils/setup.py:46-53)."""
+    net = args.network
+    win = (("kaiser", net.cqt.beta) if net.cqt.window == "kaiser" else net.cqt.window)
+    dtype = jnp.bfloat16 if str(getattr(net, "compute_dtype", "float32")) == "bfloat16" \
+        else jnp.float32
+    cqt = get_cqt(net.cqt.num_octs, net.cqt.bins_per_oct, args.exp.sample_rate,
+                  args.exp.audio_len, window=win)
+    attention = dict(net.attention_dict) if hasattr(net, "attention_dict") else {}
+    return UnetCQT(
+        cqt=cqt,
+        Ns=tuple(net.Ns),
+        num_dils=tuple(net.num_dils),
+        attention_layers=tuple(net.attention_layers),
+        attention=attention,
+        emb_dim=net.emb_dim,
+        use_norm=net.use_norm,
+        use_fencoding=net.use_fencoding,
+        num_bottleneck_layers=getattr(net, "num_bottleneck_layers", 1),
+        dtype=dtype,
+    )

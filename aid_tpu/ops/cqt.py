@@ -316,6 +316,14 @@ class CQT:
         return y[..., :T].astype(self.dtype)
 
     # ---------------------------------------------------------------- info
+    # Identity hash/eq: CQT instances are static members of flax Modules; the
+    # design is immutable and cached per config by get_cqt.
+    def __hash__(self) -> int:
+        return id(self)
+
+    def __eq__(self, other: object) -> bool:
+        return self is other
+
     @property
     def octave_lengths(self) -> List[int]:
         return list(self.M)

@@ -1,0 +1,68 @@
+"""Device-mesh / sharding utilities: the SPMD data-parallel backbone.
+
+TPU-native replacement for the reference's torch.distributed scaffolding
+(reference utils/torch_utils/distributed.py:14-31 NCCL/gloo env:// rendezvous,
+utils/torch_utils/misc.py:110-141 rank-sharded InfiniteSampler, and the one
+real collective — the all_reduce of stats moments at training_stats.py:255).
+Here the whole strategy is declarative: put the global batch on the ``dp`` mesh
+axis, replicate parameters, and let XLA insert the gradient/stat psums inside
+the jitted train step. Multi-host setups extend the same mesh over ICI via
+``jax.distributed.initialize`` — no rendezvous code of our own.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DATA_AXIS = "dp"
+
+
+def make_mesh(n_dp: int = -1, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the first n_dp) devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_dp is not None and n_dp > 0:
+        devs = devs[:n_dp]
+    return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Global batch sharded along its leading axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (params, opt state, EMA)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host array as a global device array sharded over dp.
+
+    Per-host data loading: each JAX process passes its local slice;
+    ``make_array_from_process_local_data`` assembles the global array
+    (the SPMD replacement for the reference's InfiniteSampler rank sharding).
+    """
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params/opt/ema) across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    """This host's share of the global batch."""
+    n = mesh.devices.size
+    if global_batch % n != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by mesh size {n}")
+    per_dev = global_batch // n
+    local_devs = len([d for d in mesh.devices.flat
+                      if d.process_index == jax.process_index()])
+    return per_dev * local_devs
