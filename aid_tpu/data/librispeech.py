@@ -1,0 +1,71 @@
+"""LibriSpeech loaders (reference datasets/librispeech.py:30-153).
+
+The upstream corpus ships FLAC; without a FLAC decoder in this image the
+loaders accept wav mirrors (and .flac once the native audioio grows a FLAC
+path). Train: infinite random segments, pad-wrap short utterances
+(reference :84-89). Test: first num_samples files (reference :101-153).
+"""
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator, Tuple
+
+import numpy as np
+
+from aid_tpu.data import audio_io
+from aid_tpu.data.maestro import _process_seed
+
+
+def _glob_speech(path: str):
+    files = sorted(glob.glob(os.path.join(path, "**", "*.wav"), recursive=True))
+    if not files:
+        files = sorted(glob.glob(os.path.join(path, "**", "*.flac"),
+                                 recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no wav/flac files under {path}")
+    return files
+
+
+class LibrispeechTrain:
+    def __init__(self, args, *rest, **kw):
+        self.path = str(args.dset.path)
+        self.seg_len = int(args.exp.audio_len
+                           * args.exp.get("resample_factor", 1))
+        self.seed = _process_seed(int(args.exp.get("seed", 42)))
+        self.overfit = bool(args.dset.get("overfit", False))
+        self.files = _glob_speech(self.path)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, int]]:
+        rng = np.random.default_rng(self.seed)
+        while True:
+            f = self.files[0 if self.overfit else rng.integers(len(self.files))]
+            try:
+                x, fs = audio_io.read(f)
+            except Exception:
+                continue
+            if x.shape[-1] < self.seg_len:  # pad-wrap (reference :84-89)
+                reps = int(np.ceil(self.seg_len / max(x.shape[-1], 1)))
+                x = np.tile(x, reps)
+            start = int(rng.integers(0, x.shape[-1] - self.seg_len + 1))
+            yield x[start:start + self.seg_len], fs
+
+
+class LibrispeechTest:
+    def __init__(self, args, *rest, **kw):
+        test = args.dset.test
+        self.path = str(test.get("path", args.dset.path))
+        self.num_samples = int(test.get("num_samples", 4))
+        self.seg_len = int(args.exp.audio_len
+                           * args.exp.get("resample_factor", 1))
+        self.files = _glob_speech(self.path)[: self.num_samples]
+
+    def __len__(self):
+        return len(self.files)
+
+    def __iter__(self):
+        for f in self.files:
+            x, fs = audio_io.read(f)
+            if x.shape[-1] < self.seg_len:
+                x = np.pad(x, (0, self.seg_len - x.shape[-1]))
+            yield x[: self.seg_len], fs, os.path.basename(f)

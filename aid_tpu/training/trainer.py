@@ -1,0 +1,340 @@
+"""Trainer: SPMD data-parallel EDM training as ONE compiled step.
+
+Capability parity with the reference Trainer (training/trainer.py:28-399),
+re-designed TPU-first. The reference splits an iteration across Python:
+micro-batch loop + loss.backward + clip + Adam step + EMA lerp
+(trainer.py:253-304). Here the whole iteration — augmentation, on-device
+resampling, sigma sampling, loss, gradient accumulation (lax.scan), global-norm
+clip, Adam, EMA, and the per-sigma-bin loss moments — is a single jitted
+function with donated state, data-parallel over the ``dp`` mesh axis: XLA
+inserts the gradient psum; there is no DDP wrapper, no no_sync dance, no
+separate stats all_reduce (reference training_stats.py:255).
+
+Termination: finite ``total_its`` horizon (the reference loops forever,
+trainer.py:363 — a quirk SURVEY.md §7 says not to replicate).
+"""
+from __future__ import annotations
+
+import functools
+import glob
+import os
+import re
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.training import orbax_utils  # noqa: F401  (kept for orbax forward-compat)
+import orbax.checkpoint as ocp
+
+from aid_tpu.diffusion import edm
+from aid_tpu.parallel import mesh as pmesh
+from aid_tpu.training import stats as tstats
+from aid_tpu.training import utils as tutils
+
+
+class TrainState(struct.PyTreeNode):
+    """The full training state as one pytree (params/EMA/optimizer/step)."""
+    params: Any
+    ema: Any
+    opt_state: Any
+    it: jnp.ndarray  # scalar int32
+
+
+def make_optimizer(exp) -> optax.GradientTransformation:
+    """Adam with global-norm clipping and the reference's LR ramp
+    (reference setup.py:55-58 Adam-only; trainer.py:271-278 ramp + clip)."""
+    opt_cfg = exp.optimizer
+    rampup = max(int(exp.lr_rampup_it), 1)
+    base_lr = float(exp.lr)
+
+    def lr_schedule(step):
+        return base_lr * jnp.minimum(step / rampup, 1.0)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(float(exp.max_grad_norm))
+        if bool(exp.get("use_grad_clip", True)) else optax.identity(),
+        optax.scale_by_adam(b1=float(opt_cfg.beta1), b2=float(opt_cfg.beta2),
+                            eps=float(opt_cfg.eps)),
+        optax.scale_by_schedule(lambda s: -lr_schedule(s)),
+    )
+    return tx
+
+
+def make_train_step(
+    net_apply: Callable,           # (params, x, cnoise) -> y
+    p: edm.EDMParams,
+    tx: optax.GradientTransformation,
+    exp,
+    bin_edges: np.ndarray,
+    error_filter: Optional[Callable] = None,
+    n_accum: int = 1,
+):
+    """Build the pure (state, batch, fs, key) -> (state, metrics) step."""
+    ema_rate = float(exp.ema_rate)
+    ema_rampup = exp.get("ema_rampup", None)
+    batch_global = int(exp.batch)
+    target_fs = int(exp.sample_rate)
+    aug_cfg = exp.get("augmentations", None)
+    edges = jnp.asarray(bin_edges, jnp.float32)
+
+    def loss_of(params, key, audio):
+        err2, sigma = edm.loss_fn(p, lambda x, cn: net_apply(params, x, cn),
+                                  key, audio, error_filter)
+        per_sample = jnp.mean(err2.reshape(err2.shape[0], -1), axis=-1)
+        return jnp.mean(per_sample), (per_sample, sigma)
+
+    audio_len = int(exp.audio_len)
+
+    def micro_grads(params, key, audio, fs):
+        k_aug, k_loss = jax.random.split(key)
+        if audio.shape[-1] != audio_len:
+            # native-rate segments: resample on device then crop to the model
+            # length (reference trainer.py:236-252 get_batch semantics)
+            audio = tutils.resample_batch(audio, fs, target_fs)[..., :audio_len]
+        audio = tutils.augment(k_aug, audio, aug_cfg)
+        (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            params, k_loss, audio)
+        return loss, aux, grads
+
+    def step(state: TrainState, batch: jnp.ndarray, fs: jnp.ndarray,
+             key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        # batch: [n_accum, B, T] when accumulating, else [B, T]
+        if n_accum > 1:
+            keys = jax.random.split(key, n_accum)
+            pss, sgs = [], []
+            g_total = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            loss_total = 0.0
+            for i in range(n_accum):  # static unroll: n_accum is small (1-8)
+                loss, (ps, sg), grads = micro_grads(state.params, keys[i],
+                                                    batch[i], fs[i])
+                g_total = jax.tree_util.tree_map(jnp.add, g_total, grads)
+                loss_total = loss_total + loss
+                pss.append(ps); sgs.append(sg)
+            grads = jax.tree_util.tree_map(lambda g: g / n_accum, g_total)
+            loss = loss_total / n_accum
+            per_sample = jnp.concatenate(pss)
+            sigma = jnp.concatenate(sgs)
+        else:
+            loss, (per_sample, sigma), grads = micro_grads(state.params, key,
+                                                           batch, fs)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # EMA with rampup (reference trainer.py:291-304), computed in-graph so
+        # the whole iteration stays one program.
+        t = (state.it.astype(jnp.float32) + 1.0) * batch_global
+        rate = (jnp.minimum(ema_rate, (1.0 + t) / (10.0 + t))
+                if ema_rampup is not None else ema_rate)
+        ema = jax.tree_util.tree_map(
+            lambda e, q: e + (1.0 - rate) * (q - e), state.ema, params)
+
+        gnorm = optax.global_norm(grads)
+        metrics = {
+            "loss": loss,
+            "grad_norm": gnorm,
+            "sigma_bins": tstats.sigma_binned_moments(per_sample, sigma, edges),
+            "loss_moments": tstats.moments(per_sample),
+        }
+        new_state = TrainState(params=params, ema=ema, opt_state=opt_state,
+                               it=state.it + 1)
+        return new_state, metrics
+
+    return step
+
+
+class Trainer:
+    """Training orchestrator (constructor contract mirrors the reference's
+    Trainer(args, dset, network, optimizer, diff_params, tester, device),
+    training/trainer.py:29-108 — optimizer/device are config-derived here)."""
+
+    def __init__(self, args, dset=None, network=None, diff_params=None,
+                 tester=None, device=None):
+        self.args = args
+        self.exp = args.exp
+        self.dset = dset
+        self.tester = tester
+        self.bundle = network            # NetBundle
+        self.p = (diff_params.params if hasattr(diff_params, "params")
+                  else diff_params)
+
+        self.mesh = pmesh.make_mesh(int(args.exp.get("mesh", {}).get("dp", -1)))
+        self.n_accum = int(self.exp.get("num_accumulation_rounds", 1))
+        self.it = 0
+        self.total_its = int(self.exp.get("total_its", 10 ** 9))
+
+        logging = args.logging
+        self.log_interval = int(logging.get("log_interval", 1000))
+        self.heavy_log_interval = int(logging.get("heavy_log_interval", 10000))
+        self.save_interval = int(logging.get("save_interval", 10000))
+        self.save_model = bool(logging.get("save_model", True))
+        self.remove_last = bool(logging.get("remove_last_checkpoint", False))
+        self.num_sigma_bins = int(logging.get("num_sigma_bins", 20))
+        prof = logging.get("profiling", {})
+        self.profile_enabled = bool(prof.get("enabled", False))
+        self.profile_start = int(prof.get("start_it", 10))
+        self.profile_its = int(prof.get("num_its", 3))
+        self.profile_dir = os.path.join(str(args.model_dir),
+                                        str(prof.get("trace_dir", "profile")))
+
+        self.bin_edges = tstats.make_sigma_bins(self.p.sigma_min,
+                                                self.p.sigma_max,
+                                                self.num_sigma_bins)
+        self.collector = tstats.Collector()
+        self.model_dir = str(args.model_dir)
+        os.makedirs(self.model_dir, exist_ok=True)
+        self.ckpt = ocp.PyTreeCheckpointer()
+
+        err_filter = None
+        aw = args.diff_params.get("aweighting", {})
+        if bool(aw.get("use_aweighting", False)):
+            err_filter = tutils.a_weighting_filter(self.exp.sample_rate,
+                                                   int(aw.get("ntaps", 101)))
+        if bool(self.exp.get("use_cqt_DC_correction", False)) and self.bundle.cqt is not None:
+            hpf = self.bundle.cqt.apply_hpf_DC
+            prev = err_filter
+            err_filter = (lambda e: hpf(prev(e))) if prev else hpf
+
+        self.tx = make_optimizer(self.exp)
+        self._step = make_train_step(self.bundle.module.apply, self.p, self.tx,
+                                     self.exp, self.bin_edges, err_filter,
+                                     self.n_accum)
+        self._jit_step = jax.jit(self._step, donate_argnums=(0,))
+        self.state: Optional[TrainState] = None
+        self.key = jax.random.PRNGKey(int(self.exp.get("seed", 42)))
+
+    # ------------------------------------------------------------------ state
+
+    def init_state(self) -> TrainState:
+        if self.bundle.params is None:
+            self.key, k = jax.random.split(self.key)
+            self.bundle.init(k, 1, int(self.exp.audio_len))
+        params = self.bundle.params
+        state = TrainState(params=params,
+                           ema=jax.tree_util.tree_map(jnp.copy, params),
+                           opt_state=self.tx.init(params),
+                           it=jnp.asarray(0, jnp.int32))
+        self.state = pmesh.replicate(self.mesh, state)
+        return self.state
+
+    # ------------------------------------------------------------- checkpoint
+
+    def _ckpt_path(self, it: int) -> str:
+        return os.path.join(os.path.abspath(self.model_dir),
+                            f"{self.exp.exp_name}-{it}.ckpt")
+
+    def save_checkpoint(self) -> str:
+        """Save {'it','network','optimizer','ema'} (reference layout,
+        trainer.py:187-207) plus the composed args as yaml."""
+        it = int(jax.device_get(self.state.it))
+        path = self._ckpt_path(it)
+        payload = {
+            "it": it,
+            "network": jax.device_get(self.state.params),
+            "ema": jax.device_get(self.state.ema),
+            "optimizer": jax.device_get(self.state.opt_state),
+        }
+        self.ckpt.save(path, payload, force=True)
+        if self.remove_last:
+            for old in self._checkpoints():
+                if old != path:
+                    import shutil
+                    shutil.rmtree(old, ignore_errors=True)
+        return path
+
+    def _checkpoints(self):
+        pat = os.path.join(os.path.abspath(self.model_dir),
+                           f"{self.exp.exp_name}-*.ckpt")
+        return sorted(glob.glob(pat),
+                      key=lambda q: int(re.findall(r"-(\d+)\.ckpt$", q)[0]))
+
+    def resume_from_checkpoint(self, path: Optional[str] = None) -> bool:
+        """Latest-checkpoint scan + tolerant load (reference trainer.py:139-184)."""
+        if path is None:
+            cks = self._checkpoints()
+            if not cks:
+                return False
+            path = cks[-1]
+        restored = self.ckpt.restore(path)
+        params = restored["network"]
+        ema = restored.get("ema", params)
+        it = int(restored.get("it", 0))
+        state = TrainState(
+            params=params, ema=ema,
+            opt_state=restored.get("optimizer") or self.tx.init(params),
+            it=jnp.asarray(it, jnp.int32))
+        self.state = pmesh.replicate(self.mesh, state)
+        self.bundle.params = self.state.params
+        self.it = it
+        return True
+
+    # ---------------------------------------------------------------- logging
+
+    def easy_logging(self, metrics) -> Dict[str, float]:
+        """Scalar + per-sigma-bin logging tier (reference trainer.py:306-335)."""
+        out = {
+            "loss": float(np.asarray(metrics["loss"])),
+            "grad_norm": float(np.asarray(metrics["grad_norm"])),
+        }
+        self.collector.update("loss", np.asarray(metrics["loss_moments"]))
+        self.collector.update_binned("loss_by_sigma",
+                                     np.asarray(metrics["sigma_bins"]))
+        out["loss_mean_since_flush"] = float(np.mean(self.collector.mean("loss")))
+        return out
+
+    def heavy_logging(self) -> None:
+        """Demo-generation tier (reference trainer.py:338-348): run the tester's
+        unconditional sampling with current EMA weights if a tester is wired."""
+        if self.tester is None:
+            return
+        try:
+            self.tester.sample_unconditional_ema(self.state.ema)
+        except Exception as e:  # demos must never kill training
+            print(f"[heavy_logging] skipped: {e}")
+
+    # ----------------------------------------------------------------- loop
+
+    def get_batch(self):
+        """Next host batch: (audio [B,T] or [n_accum,B,T], fs [B])."""
+        audio, fs = next(self.dset)
+        return np.asarray(audio, np.float32), np.asarray(fs, np.int64)
+
+    def train_step(self, audio, fs):
+        self.key, k = jax.random.split(self.key)
+        batch = pmesh.shard_batch(self.mesh, audio)
+        fs_arr = jnp.asarray(fs)
+        self.state, metrics = self._jit_step(self.state, batch, fs_arr, k)
+        return metrics
+
+    def training_loop(self):
+        if self.state is None:
+            if bool(self.exp.get("resume", False)):
+                self.resume_from_checkpoint(
+                    self.exp.get("resume_checkpoint", None) or None)
+            if self.state is None:
+                self.init_state()
+        it = int(jax.device_get(self.state.it))
+        t0 = time.time()
+        while it < self.total_its:
+            if self.profile_enabled and it == self.profile_start:
+                jax.profiler.start_trace(self.profile_dir)
+            audio, fs = self.get_batch()
+            metrics = self.train_step(audio, fs)
+            it += 1
+            if self.profile_enabled and it == self.profile_start + self.profile_its:
+                jax.profiler.stop_trace()
+            if it % self.log_interval == 0 or it == 1:
+                scalars = self.easy_logging(metrics)
+                dt = time.time() - t0
+                print(f"it {it}  loss {scalars['loss']:.5f}  "
+                      f"gnorm {scalars['grad_norm']:.3f}  {dt:.2f}s", flush=True)
+                t0 = time.time()
+            if self.save_model and it % self.save_interval == 0:
+                self.save_checkpoint()
+            if it % self.heavy_log_interval == 0:
+                self.heavy_logging()
+        return it

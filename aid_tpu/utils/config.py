@@ -20,10 +20,29 @@ from .containers import EasyDict
 DEFAULT_CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
 
 
+import re
+
+_NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _coerce(v: Any) -> Any:
+    """YAML 1.1 reads '1e-4' as a string (no dot before the exponent);
+    hydra/omegaconf coerce it — so do we, recursively."""
+    if isinstance(v, dict):
+        return {k: _coerce(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_coerce(x) for x in v]
+    if isinstance(v, str) and _NUM_RE.match(v):
+        return float(v)
+    if v == "None":   # reference configs write literal None (hydra reads str)
+        return None
+    return v
+
+
 def _load_yaml(path: str) -> dict:
     with open(path, "r") as f:
         out = yaml.safe_load(f)
-    return out or {}
+    return _coerce(out) or {}
 
 
 def _deep_merge(base: dict, over: dict) -> dict:
@@ -48,7 +67,7 @@ def _set_dotted(tree: dict, dotted: str, value: Any) -> None:
 
 def parse_value(text: str) -> Any:
     try:
-        return yaml.safe_load(text)
+        return _coerce(yaml.safe_load(text))
     except yaml.YAMLError:
         return text
 

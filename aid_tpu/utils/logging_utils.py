@@ -1,0 +1,107 @@
+"""Observability: audio files, spectrogram images, loss-vs-sigma plots.
+
+Capability parity with reference utils/logging.py (688 LoC of plotly/wandb
+helpers): ``write_audio_file`` (:295-318), ``plot_spectrogram_from_raw_audio``
+(:611-617), ``plot_loss_by_sigma`` (:127-135), STFT spectrograms (:20-55,
+:161-293). Re-designed for this environment: matplotlib (present) instead of
+plotly (absent); wandb strictly optional (absent here — every logger degrades
+to files under model_dir). Spectrogram STFTs run through aid_tpu.ops.stft on
+whatever backend is active.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from aid_tpu.data import audio_io
+
+
+def write_audio_file(x, fs: int, name: str, path: str = ".",
+                     normalize: bool = True) -> str:
+    """Save mono wav; peak-normalize only if clipping (reference :295-318)."""
+    os.makedirs(path, exist_ok=True)
+    fp = os.path.join(path, name if name.endswith(".wav") else name + ".wav")
+    audio_io.write(fp, np.asarray(x).reshape(-1), int(fs),
+                   normalize_if_clipping=normalize)
+    return fp
+
+
+def _stft_mag_db(x: np.ndarray, n_fft: int = 1024, hop: int = 256) -> np.ndarray:
+    import jax.numpy as jnp
+    from aid_tpu.ops import stft as stft_ops
+    X = stft_ops.stft(jnp.asarray(x, jnp.float32)[None], n_fft, hop, n_fft)[0]
+    mag = np.abs(np.asarray(X)) + 1e-8
+    return 20.0 * np.log10(mag)
+
+
+def plot_spectrogram_from_raw_audio(x, fs: int, out_path: str,
+                                    n_fft: int = 1024, hop: int = 256,
+                                    title: str = "") -> Optional[str]:
+    """Log-magnitude STFT image (reference :611-617 logged these to wandb;
+    here they land next to the wavs)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    S = _stft_mag_db(np.asarray(x).reshape(-1), n_fft, hop)
+    fig, ax = plt.subplots(figsize=(10, 4))
+    extent = [0, S.shape[0] * hop / fs, 0, fs / 2 / 1000.0]
+    ax.imshow(S.T, origin="lower", aspect="auto", extent=extent,
+              vmin=S.max() - 80, vmax=S.max(), cmap="magma")
+    ax.set_xlabel("time [s]"); ax.set_ylabel("freq [kHz]")
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=90)
+    plt.close(fig)
+    return out_path
+
+
+def plot_loss_by_sigma(bin_edges: Sequence[float], means: Sequence[float],
+                       stds: Sequence[float], out_path: str) -> Optional[str]:
+    """Loss-vs-sigma binned curve (reference :127-135 via plotly error_line)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    centers = np.sqrt(np.asarray(bin_edges[:-1]) * np.asarray(bin_edges[1:]))
+    means = np.asarray(means); stds = np.asarray(stds)
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.errorbar(centers, means, yerr=stds, marker="o", ms=3, lw=1, capsize=2)
+    ax.set_xscale("log"); ax.set_yscale("log")
+    ax.set_xlabel("sigma"); ax.set_ylabel("loss")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=90)
+    plt.close(fig)
+    return out_path
+
+
+class WandbLogger:
+    """Strictly-optional wandb sink (reference trainer.py:83-121). No-ops when
+    wandb is not installed or disabled in config."""
+
+    def __init__(self, cfg, args_dict=None, run_name: str = ""):
+        self._run = None
+        if cfg is None or not bool(cfg.get("use", False)):
+            return
+        try:
+            import wandb
+            self._run = wandb.init(entity=cfg.get("entity") or None,
+                                   project=cfg.get("project", "aid-tpu"),
+                                   config=args_dict, name=run_name or None)
+        except Exception as e:
+            print(f"[wandb] disabled: {e}")
+
+    def log(self, data: dict, step: Optional[int] = None):
+        if self._run is not None:
+            self._run.log(data, step=step)
+
+    def finish(self):
+        if self._run is not None:
+            self._run.finish()

@@ -1,0 +1,85 @@
+"""Headline benchmark: long-gap inpainting real-time factor on one TPU chip.
+
+Reproduces the reference's hot path (BASELINE.md: T=35 2nd-order stochastic
+Heun, reconstruction guidance xi=0.25 => 2T-1 denoiser forwards AND backward
+passes per segment, data-consistency projection every step, 1500 ms center gap
+on a 184184-sample 22.05 kHz segment) with random-init weights (identical
+FLOPs to trained ones) and prints ONE JSON line:
+
+  {"metric": "inpaint_rtf", "value": <audio-seconds per wall-second>,
+   "unit": "x_realtime", "vs_baseline": <value / 10.0>}
+
+vs_baseline is against the driver-set north star of 10x real time per chip
+(BASELINE.md "North star"; the reference repo publishes no perf numbers).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    import jax
+
+    # persistent compile cache: the flagship guided-Heun program is a large
+    # XLA graph; cache it so only the first-ever bench run pays the compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/aid_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from aid_tpu.utils.config import compose
+    from aid_tpu import setup as asetup
+
+    args = compose()
+    audio_len = int(args.exp.audio_len)
+    fs = float(args.exp.sample_rate)
+
+    bundle = asetup.setup_network(args)
+    ediff = asetup.setup_diff_parameters(args)
+    bundle.init(jax.random.PRNGKey(0), batch, audio_len)
+
+    sampler = asetup.setup_sampler(args, network=bundle, diff_params=ediff)
+
+    # 1500 ms center gap (reference conf/tester/inpainting_tester.yaml:74-77)
+    gap = int(1500 / 1000 * fs)
+    mask_np = np.ones((batch, audio_len), np.float32)
+    start = (audio_len - gap) // 2
+    mask_np[:, start:start + gap] = 0.0
+    mask = jnp.asarray(mask_np)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((batch, audio_len)) * 0.063, jnp.float32)
+    y_masked = y * mask
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    out = sampler.predict_inpainting(y_masked, mask, key)
+    out.block_until_ready()
+
+    times = []
+    for i in range(reps):
+        k = jax.random.fold_in(key, i)
+        t0 = time.time()
+        out = sampler.predict_inpainting(y_masked, mask, k)
+        out.block_until_ready()
+        times.append(time.time() - t0)
+
+    wall = min(times)
+    audio_seconds = batch * audio_len / fs
+    rtf = audio_seconds / wall
+    print(json.dumps({
+        "metric": "inpaint_rtf",
+        "value": round(rtf, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Config composition / registry tests (the DI mechanism, SURVEY.md L7)."""
+import pytest
+
+from aid_tpu.utils.config import compose, parse_value
+from aid_tpu.utils.registry import get_obj_by_name
+
+
+def test_compose_defaults():
+    args = compose()
+    assert args.network.cqt.num_octs == 7
+    assert args.diff_params.sigma_data == 0.063
+    assert args.tester.T == 35
+    assert args.exp.audio_len == 184184
+    assert args.logging.save_interval == 10000
+
+
+def test_group_swap_and_override():
+    args = compose(overrides=[
+        "network=cqtdiff_plus_44k",
+        "tester=inpainting_tester_shortgaps",
+        "exp.lr=1e-3",
+        "network.Ns=[1,2,3,4,5,6,7,8]",
+    ])
+    assert args.network.cqt.num_octs == 8
+    assert args.tester.T == 70
+    assert args.tester.data_consistency.hann_size == 100
+    assert args.exp.lr == pytest.approx(1e-3)
+    assert list(args.network.Ns) == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_parse_value_types():
+    assert parse_value("1e-4") == pytest.approx(1e-4)
+    assert parse_value("[1,2]") == [1, 2]
+    assert parse_value("True") is True
+    assert parse_value("None") is None
+    assert parse_value("kaiser") == "kaiser"
+
+
+def test_registry_aliases_resolve():
+    # reference-style callable strings map onto this package
+    fn = get_obj_by_name(
+        "networks.unet_cqt_oct_with_projattention_adaLN_2.Unet_CQT_oct_with_attention")
+    from aid_tpu.models.unet_cqt import build_unet
+    assert fn is build_unet
+    cls = get_obj_by_name("diff_params.edm.EDM")
+    from aid_tpu.diffusion.edm import EDM
+    assert cls is EDM
+
+
+def test_test_time_diff_param_override():
+    """tester.diff_params.same_as_training=False must swap sampler params
+    (reference edm_sampler_inpainting.py:43-53)."""
+    from aid_tpu.diffusion import edm
+    args = compose()
+    assert args.tester.diff_params.same_as_training is False
+    p = edm.EDMParams.from_args(args.tester.diff_params)
+    assert p.sigma_max == pytest.approx(1.0)
+    assert p.Schurn == pytest.approx(10.0)
+    p_train = edm.EDMParams.from_args(args.diff_params)
+    assert p_train.sigma_max == pytest.approx(10.0)

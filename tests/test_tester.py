@@ -1,0 +1,100 @@
+"""Tester end-to-end smoke tests on a tiny model (CPU): mode dispatch, mask
+preparation, wav-tree outputs, checkpoint loading."""
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from aid_tpu import setup as asetup
+from aid_tpu.utils.config import compose
+
+
+class _SynthTestSet:
+    def __init__(self, n, T, fs):
+        rng = np.random.default_rng(0)
+        self.items = [(rng.standard_normal(T).astype(np.float32) * 0.05,
+                       fs, f"clip_{i}.wav") for i in range(n)]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __iter__(self):
+        return iter(self.items)
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("tester"))
+    args = compose(overrides=[
+        "exp=test_cqtdiff_22k",
+        "exp.audio_len=2048",
+        "network.cqt.num_octs=3",
+        "network.cqt.bins_per_oct=8",
+        "network.Ns=[8,16,16]",
+        "network.num_dils=[1,1,1]",
+        "network.attention_layers=[0,0,1,1]",
+        "tester.T=4",
+        "tester.order=2",
+        "tester.unconditional.num_samples=2",
+        "tester.unconditional.audio_len=2048",
+        "tester.inpainting.long.gap_length=20",
+        "tester.modes=['unconditional','inpainting']",
+        f"model_dir={tmp}",
+    ])
+    bundle = asetup.setup_network(args)
+    bundle.init(jax.random.PRNGKey(0), 1, 2048)
+    ediff = asetup.setup_diff_parameters(args)
+    test_set = _SynthTestSet(2, 2048, 22050)
+    tester = asetup.setup_tester(args, network=bundle, diff_params=ediff,
+                                 test_set=test_set)
+    return tester, tmp
+
+
+def test_prepare_mask_long(tiny):
+    tester, _ = tiny
+    m = tester.prepare_mask("long")
+    assert m.shape == (1, 2048)
+    gap = int(0.020 * 22050)
+    assert int((m == 0).sum()) == gap
+    # centered
+    idx = np.flatnonzero(m[0] == 0)
+    assert abs(idx[0] - (2048 - gap) // 2) <= 1
+
+
+def test_prepare_mask_short(tiny):
+    tester, _ = tiny
+    m = tester.prepare_mask("short", jax.random.PRNGKey(1))
+    assert m.shape == (1, 2048)
+    assert (m == 0).sum() > 0
+
+
+def test_prepare_spectral_mask(tiny):
+    tester, _ = tiny
+    m = tester.prepare_spectral_mask()
+    F = tester.t.spectrogram_inpainting.stft.n_fft // 2 + 1
+    assert m.shape[0] == F
+    assert (m == 0).sum() > 0
+
+
+def test_dodajob_writes_wavs(tiny):
+    tester, tmp = tiny
+    results = tester.dodajob()
+    assert set(results) == {"unconditional", "inpainting"}
+    uncond = glob.glob(os.path.join(tester.base_dir, "unconditional", "*.wav"))
+    assert len(uncond) == 2
+    for sub in ("original", "degraded", "reconstructed"):
+        wavs = glob.glob(os.path.join(tester.base_dir, "inpainting", sub, "*.wav"))
+        assert len(wavs) == 2, (sub, wavs)
+
+
+def test_checkpoint_load_orbax(tiny, tmp_path):
+    tester, _ = tiny
+    import orbax.checkpoint as ocp
+    path = os.path.join(str(tmp_path), "net-5.ckpt")
+    payload = {"it": 5, "ema": jax.device_get(tester.bundle.params),
+               "network": jax.device_get(tester.bundle.params)}
+    ocp.PyTreeCheckpointer().save(path, payload)
+    assert tester.load_checkpoint(path)
+    assert tester.load_latest_checkpoint(str(tmp_path))

@@ -1,0 +1,112 @@
+"""Trainer tests: one compiled step end-to-end on the 8-device CPU mesh,
+EMA semantics, checkpoint save/resume (SURVEY.md §4 gates; the reference has
+no trainer tests at all)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aid_tpu import setup as asetup
+from aid_tpu.utils.config import compose
+
+
+def _tiny_args(tmp, batch=8, its=3):
+    return compose(overrides=[
+        "exp=test_cqtdiff_22k",
+        "exp.audio_len=2048",
+        f"exp.batch={batch}",
+        f"exp.total_its={its}",
+        "exp.lr_rampup_it=2",
+        "network.cqt.num_octs=3",
+        "network.cqt.bins_per_oct=8",
+        "network.Ns=[8,16,16]",
+        "network.num_dils=[1,1,1]",
+        "network.attention_layers=[0,0,1,1]",
+        "logging.save_interval=2",
+        "logging.log_interval=1",
+        f"model_dir={tmp}",
+    ])
+
+
+class _SynthData:
+    """Infinite synthetic batches at the model rate (no resample path)."""
+
+    def __init__(self, batch, T):
+        self.batch, self.T = batch, T
+        self.rng = np.random.default_rng(0)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        x = self.rng.standard_normal((self.batch, self.T)).astype(np.float32) * 0.063
+        return x, np.full((self.batch,), 22050, np.int64)
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("trainer"))
+    args = _tiny_args(tmp)
+    bundle = asetup.setup_network(args)
+    ediff = asetup.setup_diff_parameters(args)
+    tr = asetup.setup_trainer(args, dset=_SynthData(8, 2048), network=bundle,
+                              diff_params=ediff)
+    return tr
+
+
+def test_train_step_runs_and_descends(trainer):
+    trainer.init_state()
+    losses = []
+    for _ in range(3):
+        audio, fs = trainer.get_batch()
+        m = trainer.train_step(audio, fs)
+        losses.append(float(np.asarray(m["loss"])))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert int(np.asarray(jax.device_get(trainer.state.it))) == 3
+
+
+def test_ema_tracks_params(trainer):
+    # after steps, EMA must differ from both init and params but stay close
+    p = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    e = jax.tree_util.tree_leaves(trainer.state.ema)[0]
+    assert p.shape == e.shape
+    # rampup at tiny t keeps ema glued closely to params
+    diff = float(jnp.max(jnp.abs(p - e)))
+    assert diff < 1.0
+
+
+def test_metrics_shapes(trainer):
+    audio, fs = trainer.get_batch()
+    m = trainer.train_step(audio, fs)
+    bins = np.asarray(m["sigma_bins"])
+    assert bins.shape == (trainer.num_sigma_bins, 3)
+    # all samples fall in some bin
+    assert int(bins[:, 0].sum()) == 8
+    scalars = trainer.easy_logging(m)
+    assert np.isfinite(scalars["loss"])
+
+
+def test_checkpoint_roundtrip(trainer):
+    path = trainer.save_checkpoint()
+    assert os.path.exists(path)
+    it_before = int(np.asarray(jax.device_get(trainer.state.it)))
+    p_before = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    trainer.state = None
+    assert trainer.resume_from_checkpoint()
+    assert int(np.asarray(jax.device_get(trainer.state.it))) == it_before
+    p_after = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    np.testing.assert_array_equal(p_before, p_after)
+
+
+def test_lr_ramp_schedule():
+    from aid_tpu.training.trainer import make_optimizer
+    args = compose(overrides=["exp.lr=1.0", "exp.lr_rampup_it=10"])
+    tx = make_optimizer(args.exp)
+    params = {"w": jnp.ones(4)}
+    state = tx.init(params)
+    g = {"w": jnp.ones(4) * 0.1}
+    # step 0: lr = 0 -> no update beyond clip/adam scale by zero
+    updates, state = tx.update(g, state, params)
+    assert float(jnp.max(jnp.abs(updates["w"]))) < 1e-6
