@@ -52,6 +52,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import List, Optional, Sequence, Tuple
 
@@ -225,6 +226,51 @@ class CQT:
         idx, wa, ws = pack([nyq], nyq.M)
         self._nyq = (jnp.asarray(idx), jnp.asarray(wa, dtype), jnp.asarray(ws, dtype), nyq.M)
 
+        # Scatter-free synthesis/adjoint tables (TPU: scatter-add serializes on
+        # duplicate indices — both the synthesis accumulation and autodiff's
+        # gather-transpose would hit it in the sampler hot loop). Painless NSGT
+        # windows overlap only ADJACENT bands, so bands taken every 3rd are
+        # support-disjoint: synthesis becomes, per octave and per residue
+        # class g in {0,1,2}, ONE inverse-index gather from the flat (band,
+        # slot) coefficient array + a weight multiply; the three classes sum.
+        # Tables carry the weight for synthesis (ws) and for the analysis
+        # adjoint (wa * Ls / (2 M)); boundary bins 0 / Ls/2 never occur in the
+        # octave bands (DC/Nyquist are separate bands).
+        H = Ls // 2 + 1
+        self._oct_span: List[Tuple[int, int]] = []
+        self._asm: List[List[Tuple[np.ndarray, np.ndarray, np.ndarray]]] = []
+        for j in range(O):
+            M = self.M[j]
+            grp = bands[j * B:(j + 1) * B]
+            all_pos = np.concatenate([(bd.center + bd.offsets) % Ls for bd in grp])
+            assert all_pos.min() >= 1 and all_pos.max() <= Ls // 2, \
+                "octave band support escapes the half spectrum"
+            lo, hi = int(all_pos.min()), int(all_pos.max())
+            W = hi - lo + 1
+            tabs = []
+            for g in range(3):
+                inv = np.zeros(W, np.int64)
+                w_s = np.zeros(W, np.float64)
+                w_a = np.zeros(W, np.float64)
+                for b in range(g, B, 3):
+                    bd = grp[b]
+                    slots = bd.offsets % M
+                    pos = (bd.center + bd.offsets) % Ls
+                    rel = pos - lo
+                    assert np.all(w_s[rel] == 0.0), \
+                        f"group-{g} bands overlap in octave {j}"
+                    inv[rel] = b * M + slots
+                    w_s[rel] = bd.win / D[pos]
+                    w_a[rel] = bd.win * (Ls / (2.0 * M))
+                tabs.append((jnp.asarray(inv, jnp.int32),
+                             jnp.asarray(w_s, dtype), jnp.asarray(w_a, dtype)))
+            self._oct_span.append((lo, hi))
+            self._asm.append(tabs)
+        # synthesis-adjoint weight: ws * 2 M / Ls  (see bwd custom_vjp)
+        self._oct_ws_adj = [w * (2.0 * self.M[j] / Ls)
+                            for j, w in enumerate(self._oct_ws)]
+        self._H = H
+
         # apply_hpf_DC: band-subset analysis+synthesis is a diagonal frequency
         # mask in the painless case; precompute it on the rfft half-spectrum.
         mask = np.zeros(Ls)
@@ -250,14 +296,31 @@ class CQT:
             x = jnp.pad(x, pad)
         return x
 
-    def fwd(self, x: jnp.ndarray) -> List[jnp.ndarray]:
-        """Analysis. x: real [..., T<=Ls] -> list low->high octave of [..., bins, M_j]."""
-        X = jnp.fft.fft(self._pad(x).astype(self.dtype))
-        out = []
+    # --- scatter-free half-spectrum kernels (the sampler/training hot path) ---
+
+    def _assemble_half(self, U_list: List[jnp.ndarray], adjoint: bool) -> jnp.ndarray:
+        """Sum per-octave band spectra into one half spectrum [..., H] without
+        scatters: per residue class, an inverse-index gather + weight."""
+        lead = U_list[0].shape[:-2]
+        half = jnp.zeros(lead + (self._H,), self._ctype)
         for j in range(self.num_octs):
-            V = jnp.take(X, self._oct_idx[j], axis=-1) * self._oct_wa[j]
-            out.append(jnp.fft.ifft(V, axis=-1))
-        return out
+            U = U_list[j].reshape(U_list[j].shape[:-2] + (-1,))
+            lo, hi = self._oct_span[j]
+            seg = None
+            for inv, w_s, w_a in self._asm[j]:
+                t = jnp.take(U, inv, axis=-1) * (w_a if adjoint else w_s)
+                seg = t if seg is None else seg + t
+            pad = [(0, 0)] * (half.ndim - 1) + [(lo, self._H - hi - 1)]
+            half = half + jnp.pad(seg, pad)
+        return half
+
+    def fwd(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        """Analysis. x: real [..., T<=Ls] -> list low->high octave of [..., bins, M_j].
+
+        One rfft + per-octave (gather * window -> ifft). custom_vjp: the
+        cotangent is assembled scatter-free (autodiff of the gather would
+        otherwise emit a TPU scatter-add in every guidance backprop)."""
+        return list(_fwd_oct(self, self._pad(x).astype(self.dtype)))
 
     def fwd_complete(self, x: jnp.ndarray):
         """Analysis including DC and Nyquist bands: (dc, octave_list, nyq)."""
@@ -284,12 +347,12 @@ class CQT:
         return jnp.fft.ifft(Z).real.astype(self.dtype)
 
     def bwd(self, coeffs: List[jnp.ndarray]) -> jnp.ndarray:
-        """Synthesis from octave bands only -> real [..., Ls] (band-limited)."""
-        lead = coeffs[0].shape[:-2]
-        S = jnp.zeros(lead + (self.Ls, 2), self.dtype)
-        for j in range(self.num_octs):
-            S = self._accumulate(S, coeffs[j], self._oct_idx[j], self._oct_ws[j])
-        return self._finish(S)
+        """Synthesis from octave bands only -> real [..., Ls] (band-limited).
+
+        Per-octave fft -> scatter-free assembly -> ONE irfft of the half
+        spectrum (octave bands only touch (0, Ls/2), so the hermitian mirror
+        is implicit). custom_vjp mirrors fwd with adjoint-scaled windows."""
+        return _bwd_oct(self, tuple(coeffs))
 
     def bwd_complete(self, dc, coeffs, nyq) -> jnp.ndarray:
         lead = coeffs[0].shape[:-2]
@@ -331,6 +394,83 @@ class CQT:
     def __repr__(self) -> str:
         return (f"CQT(num_octs={self.num_octs}, bins_per_oct={self.bins_per_oct}, "
                 f"fs={self.fs}, audio_len={self.audio_len}, Ls={self.Ls}, M={self.M})")
+
+
+# --------------------------------------------------------------------------
+# custom-VJP kernels. Adjoint derivations (validated numerically in
+# tests/test_cqt.py::test_custom_vjp_matches_autodiff):
+#
+#   analysis   c_j = ifft_M( wa_j * X[idx_j] ),  X = rfft(x)
+#   vjp        dx  = irfft( assemble_j( (Ls / 2 M_j) wa_j * fft(dc_j) ) )
+#              (rfft real->complex pair-adjoint contributes Ls/2 at interior
+#               bins; ifft_M adjoint contributes fft/M; both fold into the
+#               precomputed w_a table)
+#
+#   synthesis  y   = irfft( assemble_j( ws_j * fft(c_j) ) )
+#   vjp        dc_j = ifft_M( (2 M_j / Ls) ws_j * G[idx_j] ),  G = rfft(dy)
+#              (irfft pair-adjoint is (2/Ls) rfft at interior bins; fft_M
+#               adjoint is M ifft)
+#
+# `cqt` is a nondiff static argument (identity-hashed).
+
+
+def _fwd_oct_impl(cqt: "CQT", xp: jnp.ndarray):
+    X = jnp.fft.rfft(xp)
+    return tuple(
+        jnp.fft.ifft(jnp.take(X, cqt._oct_idx[j], axis=-1) * cqt._oct_wa[j],
+                     axis=-1)
+        for j in range(cqt.num_octs))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fwd_oct(cqt: "CQT", xp: jnp.ndarray):
+    return _fwd_oct_impl(cqt, xp)
+
+
+def _fwd_oct_fwdrule(cqt, xp):
+    return _fwd_oct_impl(cqt, xp), None
+
+
+def _fwd_oct_bwdrule(cqt, _, dcs):
+    # empirically pinned against autodiff (tests): conj on the incoming
+    # cotangent, none on the assembled half spectrum
+    U = [jnp.fft.fft(jnp.conj(dc), axis=-1) for dc in dcs]
+    half = cqt._assemble_half(U, adjoint=True)
+    dx = jnp.fft.irfft(half, n=cqt.Ls).astype(cqt.dtype)
+    return (dx,)
+
+
+_fwd_oct.defvjp(_fwd_oct_fwdrule, _fwd_oct_bwdrule)
+
+
+def _bwd_oct_impl(cqt: "CQT", coeffs):
+    U = [jnp.fft.fft(c.astype(cqt._ctype), axis=-1) for c in coeffs]
+    half = cqt._assemble_half(U, adjoint=False)
+    return jnp.fft.irfft(half, n=cqt.Ls).astype(cqt.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bwd_oct(cqt: "CQT", coeffs):
+    return _bwd_oct_impl(cqt, coeffs)
+
+
+def _bwd_oct_fwdrule(cqt, coeffs):
+    return _bwd_oct_impl(cqt, coeffs), None
+
+
+def _bwd_oct_bwdrule(cqt, _, dy):
+    # empirically pinned against autodiff (tests): conj on the outgoing
+    # coefficient cotangents only
+    G = jnp.fft.rfft(dy.astype(cqt.dtype))
+    dcs = tuple(
+        jnp.conj(jnp.fft.ifft(
+            jnp.take(G, cqt._oct_idx[j], axis=-1) * cqt._oct_ws_adj[j],
+            axis=-1))
+        for j in range(cqt.num_octs))
+    return (dcs,)
+
+
+_bwd_oct.defvjp(_bwd_oct_fwdrule, _bwd_oct_bwdrule)
 
 
 _CACHE: dict = {}

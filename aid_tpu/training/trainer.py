@@ -214,6 +214,9 @@ class Trainer:
             self.key, k = jax.random.split(self.key)
             self.bundle.init(k, 1, int(self.exp.audio_len))
         params = self.bundle.params
+        if bool(self.args.logging.get("print_model_summary", False)):
+            from aid_tpu.utils.summary import print_model_summary
+            print_model_summary(params)
         state = TrainState(params=params,
                            ema=jax.tree_util.tree_map(jnp.copy, params),
                            opt_state=self.tx.init(params),

@@ -37,7 +37,8 @@ def main() -> None:
     from aid_tpu.utils.config import compose
     from aid_tpu import setup as asetup
 
-    args = compose()
+    overrides = [o for o in os.environ.get("BENCH_OVERRIDES", "").split() if o]
+    args = compose(overrides=overrides)
     audio_len = int(args.exp.audio_len)
     fs = float(args.exp.sample_rate)
 

@@ -132,3 +132,51 @@ def test_jit_and_scan_compatible(cqt):
     y = roundtrip(x)
     assert y.shape == x.shape
     assert float(jnp.max(jnp.abs(y - cqt.apply_hpf_DC(x)))) < 2e-5
+
+
+def test_custom_vjp_matches_autodiff():
+    """fwd/bwd carry hand-written scatter-free VJPs (cqt.py _fwd_oct/_bwd_oct);
+    they must agree with plain autodiff through reference implementations."""
+    import jax
+    from aid_tpu.ops.cqt import get_cqt
+
+    cqt = get_cqt(3, 8, 4096.0, 2048)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 2048)), jnp.float32)
+    tgt = [jnp.asarray(rng.standard_normal((2, 8, m))
+                       + 1j * rng.standard_normal((2, 8, m)), jnp.complex64)
+           for m in cqt.M]
+
+    def fwd_ref(xx):  # same math, no custom_vjp -> autodiff ground truth
+        X = jnp.fft.fft(cqt._pad(xx).astype(cqt.dtype))
+        return [jnp.fft.ifft(jnp.take(X, cqt._oct_idx[j], axis=-1)
+                             * cqt._oct_wa[j], axis=-1)
+                for j in range(cqt.num_octs)]
+
+    def bwd_ref(cs):
+        lead = cs[0].shape[:-2]
+        S = jnp.zeros(lead + (cqt.Ls, 2), cqt.dtype)
+        for j in range(cqt.num_octs):
+            S = cqt._accumulate(S, cs[j], cqt._oct_idx[j], cqt._oct_ws[j])
+        return cqt._finish(S)
+
+    def loss_a(xx, f):
+        return sum(jnp.sum(jnp.abs(c - t) ** 2) for c, t in zip(f(xx), tgt))
+
+    g_new = jax.grad(lambda xx: loss_a(xx, cqt.fwd))(x)
+    g_ref = jax.grad(lambda xx: loss_a(xx, fwd_ref))(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
+
+    cs = fwd_ref(x)
+    g2_new = jax.grad(lambda c: jnp.sum((cqt.bwd(c) - 0.3) ** 2))(cs)
+    g2_ref = jax.grad(lambda c: jnp.sum((bwd_ref(c) - 0.3) ** 2))(cs)
+    for a, b in zip(g2_new, g2_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+    # primal equivalence of the half-spectrum path vs the full-fft path
+    for a, b in zip(cqt.fwd(x), fwd_ref(x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cqt.bwd(cs)), np.asarray(bwd_ref(cs)),
+                               atol=1e-5)
