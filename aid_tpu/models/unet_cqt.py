@@ -89,12 +89,31 @@ class Conv2dFT(nn.Module):
         kh, kw = self.kernel
         w = self.param("kernel", scaled_uniform(self.scale),
                        (kh, kw, x.shape[-1], self.features))
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w.astype(self.dtype),
-            window_strides=(1, 1), padding="SAME",
-            rhs_dilation=self.dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        x = x.astype(self.dtype)
+        w = w.astype(self.dtype)
+        d = self.dilation[0]
+        B, F, T, C = x.shape
+        if d > 1 and self.dilation[1] == 1 and F % d == 0:
+            # Freq-dilated conv as residue-class regrouping: output bin f only
+            # mixes bins f + d*k, i.e. its own residue class mod d — so a
+            # dilation-d conv over F equals a PLAIN conv over F/d applied to
+            # each of the d classes (folded into the batch). TPU convs with
+            # large rhs_dilation lower poorly; plain convs with d-times the
+            # batch map cleanly onto the MXU. SAME padding of 2d ends becomes
+            # SAME padding of 2 per class, exactly.
+            z = x.reshape(B, F // d, d, T, C).transpose(0, 2, 1, 3, 4)
+            z = z.reshape(B * d, F // d, T, C)
+            y = jax.lax.conv_general_dilated(
+                z, w, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y.reshape(B, d, F // d, T, self.features)
+            y = y.transpose(0, 2, 1, 3, 4).reshape(B, F, T, self.features)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w, window_strides=(1, 1), padding="SAME",
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
             y = y + b.astype(self.dtype)
@@ -370,12 +389,14 @@ class UnetCQT(nn.Module):
     use_norm: bool = True
     use_fencoding: bool = False
     num_bottleneck_layers: int = 1
-    dtype: Any = jnp.float32
+    remat: bool = False   # rematerialize each res block (trade FLOPs for HBM
+    dtype: Any = jnp.float32  # in guidance backprops / large-batch training)
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray, cnoise: jnp.ndarray) -> jnp.ndarray:
         O = self.cqt.num_octs
         bins = self.cqt.bins_per_oct
+        Block = nn.remat(AdaLNResBlock) if self.remat else AdaLNResBlock
         emb = RFFEmbedding(self.emb_dim, dtype=self.dtype, name="embedding")(cnoise)
 
         # analysis: list low->high octave of complex [B, 1, bins, M_j]
@@ -395,7 +416,7 @@ class UnetCQT(nn.Module):
             C = to_real(X_list[O - 1 - i])
             C2 = (FreqEncodingRFF(bins, name=f"fenc_{i}")(C)
                   if self.use_fencoding else C)
-            C2 = AdaLNResBlock(
+            C2 = Block(
                 dim_out=self.Ns[i] if i == 0 else self.Ns[i - 1],
                 num_dils=1, kernel=(1, 1), use_norm=self.use_norm,
                 dtype=self.dtype, name=f"down_{i}_init")(C2, emb)
@@ -410,7 +431,7 @@ class UnetCQT(nn.Module):
                 pyr = jnp.concatenate([C, pyr], axis=1)
                 X = jnp.concatenate([C2, X], axis=1)
 
-            X = AdaLNResBlock(
+            X = Block(
                 dim_out=self.Ns[i], num_dils=self.num_dils[i],
                 use_norm=self.use_norm, attention=attn_cfg(self.attention_layers[i]),
                 fdim=(i + 1) * bins, dtype=self.dtype, name=f"down_{i}_res")(X, emb)
@@ -423,12 +444,12 @@ class UnetCQT(nn.Module):
         # bottleneck
         Xout = None
         for m in range(self.num_bottleneck_layers):
-            X = AdaLNResBlock(
+            X = Block(
                 dim_out=self.Ns[-1], num_dils=self.num_dils[-1],
                 use_norm=self.use_norm,
                 attention=attn_cfg(self.attention_layers[-1]),
                 fdim=O * bins, dtype=self.dtype, name=f"mid_{m}_res")(X, emb)
-            Xout = AdaLNResBlock(
+            Xout = Block(
                 dim_out=2, num_dils=1, kernel=(1, 1), use_norm=self.use_norm,
                 proj_place="after", dtype=self.dtype, name=f"mid_{m}_out")(X, emb)
 
@@ -438,13 +459,13 @@ class UnetCQT(nn.Module):
             oct_idx = O - 1 - i  # octave-construction index of this level
             skip = hs.pop()
             X = jnp.concatenate([X, skip], axis=-1)
-            X = AdaLNResBlock(
+            X = Block(
                 dim_out=self.Ns[oct_idx - 1] if oct_idx > 0 else self.Ns[0],
                 num_dils=self.num_dils[oct_idx], use_norm=self.use_norm,
                 attention=attn_cfg(self.attention_layers[oct_idx]),
                 fdim=(oct_idx + 1) * bins, dtype=self.dtype,
                 name=f"up_{i}_res")(X, emb)
-            Xout = (Xout + AdaLNResBlock(
+            Xout = (Xout + Block(
                 dim_out=2, num_dils=1, kernel=(1, 1), use_norm=self.use_norm,
                 proj_place="after", dtype=self.dtype,
                 name=f"up_{i}_out")(X, emb)) / math.sqrt(2.0)
@@ -485,5 +506,6 @@ def build_unet(args, device=None) -> UnetCQT:
         use_norm=net.use_norm,
         use_fencoding=net.use_fencoding,
         num_bottleneck_layers=getattr(net, "num_bottleneck_layers", 1),
+        remat=bool(net.get("remat", False)),
         dtype=dtype,
     )

@@ -199,6 +199,11 @@ class Trainer:
             prev = err_filter
             err_filter = (lambda e: hpf(prev(e))) if prev else hpf
 
+        from aid_tpu.utils.logging_utils import WandbLogger
+        self.wandb = WandbLogger(self.exp.get("wandb", None),
+                                 args_dict=getattr(args, "to_dict", dict)(),
+                                 run_name=str(self.exp.get("exp_name", "")))
+
         self.tx = make_optimizer(self.exp)
         self._step = make_train_step(self.bundle.module.apply, self.p, self.tx,
                                      self.exp, self.bin_edges, err_filter,
@@ -287,6 +292,15 @@ class Trainer:
         self.collector.update_binned("loss_by_sigma",
                                      np.asarray(metrics["sigma_bins"]))
         out["loss_mean_since_flush"] = float(np.mean(self.collector.mean("loss")))
+        it = int(jax.device_get(self.state.it))
+        self.wandb.log(out, step=it)
+        # loss-vs-sigma binned curve (reference trainer.py:306-335 +
+        # logging.py:127-135), written next to the checkpoints
+        from aid_tpu.utils import logging_utils as logu
+        logu.plot_loss_by_sigma(
+            self.bin_edges, self.collector.mean("loss_by_sigma"),
+            self.collector.std("loss_by_sigma"),
+            os.path.join(self.model_dir, "loss_by_sigma.png"))
         return out
 
     def heavy_logging(self) -> None:

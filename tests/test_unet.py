@@ -126,3 +126,21 @@ def test_param_count_scales_with_config():
     p_small = jax.jit(small.init)(jax.random.PRNGKey(0), x, cn)
     n_small = sum(v.size for v in jax.tree_util.tree_leaves(p_small))
     assert n_small > 0
+
+
+@pytest.mark.parametrize("d", [2, 4, 8])
+def test_dilated_conv_regrouping_matches_direct(d):
+    """Conv2dFT's residue-class regrouping for freq dilation must equal the
+    straightforward rhs_dilation conv."""
+    from aid_tpu.models.unet_cqt import Conv2dFT
+    B, F, T, C, N = 2, 16, 12, 3, 5
+    x = jnp.asarray(np.random.default_rng(d).standard_normal((B, F, T, C)),
+                    jnp.float32)
+    m = Conv2dFT(N, (5, 3), dilation=(d, 1))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    w = params["params"]["kernel"]
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", rhs_dilation=(d, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
