@@ -61,6 +61,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _np_dtype(dtype) -> np.dtype:
+    return np.dtype(jnp.dtype(dtype).name)
+
+
 def _next_smooth(n: int) -> int:
     """Smallest integer >= n whose prime factors are all in {2,3,5,7}."""
     def is_smooth(m: int) -> bool:
@@ -218,13 +222,15 @@ class CQT:
         self._oct_idx, self._oct_wa, self._oct_ws = [], [], []
         for j in range(O):
             idx, wa, ws = pack(bands[j * B:(j + 1) * B], self.M[j])
-            self._oct_idx.append(jnp.asarray(idx))
-            self._oct_wa.append(jnp.asarray(wa, dtype))
-            self._oct_ws.append(jnp.asarray(ws, dtype))
+            self._oct_idx.append(np.asarray(idx, np.int32))
+            self._oct_wa.append(np.asarray(wa, _np_dtype(dtype)))
+            self._oct_ws.append(np.asarray(ws, _np_dtype(dtype)))
         idx, wa, ws = pack([dc], dc.M)
-        self._dc = (jnp.asarray(idx), jnp.asarray(wa, dtype), jnp.asarray(ws, dtype), dc.M)
+        self._dc = (np.asarray(idx, np.int32), np.asarray(wa, _np_dtype(dtype)),
+                    np.asarray(ws, _np_dtype(dtype)), dc.M)
         idx, wa, ws = pack([nyq], nyq.M)
-        self._nyq = (jnp.asarray(idx), jnp.asarray(wa, dtype), jnp.asarray(ws, dtype), nyq.M)
+        self._nyq = (np.asarray(idx, np.int32), np.asarray(wa, _np_dtype(dtype)),
+                     np.asarray(ws, _np_dtype(dtype)), nyq.M)
 
         # Scatter-free synthesis/adjoint tables (TPU: scatter-add serializes on
         # duplicate indices — both the synthesis accumulation and autodiff's
@@ -262,8 +268,9 @@ class CQT:
                     inv[rel] = b * M + slots
                     w_s[rel] = bd.win / D[pos]
                     w_a[rel] = bd.win * (Ls / (2.0 * M))
-                tabs.append((jnp.asarray(inv, jnp.int32),
-                             jnp.asarray(w_s, dtype), jnp.asarray(w_a, dtype)))
+                tabs.append((np.asarray(inv, np.int32),
+                             np.asarray(w_s, _np_dtype(dtype)),
+                             np.asarray(w_a, _np_dtype(dtype))))
             self._oct_span.append((lo, hi))
             self._asm.append(tabs)
         # synthesis-adjoint weight: ws * 2 M / Ls  (see bwd custom_vjp)
@@ -279,9 +286,12 @@ class CQT:
             mask[pos] += bd.win ** 2 / D[pos]
             mpos = (-pos) % Ls
             mask[mpos] += bd.win ** 2 / D[mpos]
-        self._hpf_mask = jnp.asarray(mask[: Ls // 2 + 1], dtype)
+        # tables stay HOST numpy: under jit they embed as HLO constants with
+        # no device round-trip (the axon tunnel cannot d2h some dtypes), and
+        # compile requests stay small
+        self._hpf_mask = np.asarray(mask[: Ls // 2 + 1], _np_dtype(dtype))
 
-        self._mirror = jnp.asarray((-np.arange(Ls)) % Ls, jnp.int32)
+        self._mirror = np.asarray((-np.arange(Ls)) % Ls, np.int32)
         self._ctype = ctype
 
     # ------------------------------------------------------------------ fwd
