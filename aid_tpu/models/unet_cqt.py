@@ -348,27 +348,29 @@ def resample_time(x: jnp.ndarray, up: bool, kernel: str = "cubic") -> jnp.ndarra
     k = len(taps)
     pad = k // 2 - 1
     B, F, T, C = x.shape
+    x = x.reshape(B * F, T, C)
     if not up:
-        xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
-        Tn = T // 2
-        y = None
-        for j in range(k):  # y[t] = sum_j h[j] * xp[2t + j]
-            term = taps[j] * jax.lax.slice_in_dim(xp, j, j + 2 * Tn - 1, 2,
-                                                  axis=2)
-            y = term if y is None else y + term
-        return y
+        # depthwise strided conv: ONE read/write pass over the tensor (an
+        # unrolled slice-FMA chain profiled at ~60 GB/s effective — XLA
+        # materialized every shifted slice; feature_group_count=C convs read
+        # once)
+        w = jnp.broadcast_to(jnp.asarray(taps, x.dtype)[:, None, None],
+                             (k, 1, C))
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+        y = jax.lax.conv_general_dilated(
+            xp, w, window_strides=(2,), padding="VALID",
+            feature_group_count=C,
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        return y.reshape(B, F, T // 2, C)
     p = (pad + 1) // 2
-    xp = jnp.pad(x, ((0, 0), (0, 0), (p, p), (0, 0)), mode="reflect")
-    rev = taps[::-1]
-    phases = []
-    for ph in range(2):  # y[2t+ph] = sum_{j'} rev[2j'+ph] * xp[t + j' + ph]
-        acc = None
-        for jp in range(k // 2):
-            term = rev[2 * jp + ph] * jax.lax.slice_in_dim(
-                xp, jp + ph, jp + ph + T, 1, axis=2)
-            acc = term if acc is None else acc + term
-        phases.append(acc)
-    return jnp.stack(phases, axis=3).reshape(B, F, 2 * T, C)
+    w = jnp.broadcast_to(jnp.asarray(taps[::-1], x.dtype)[:, None, None],
+                         (k, 1, C))
+    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0)), mode="reflect")
+    y = jax.lax.conv_general_dilated(
+        xp, w, window_strides=(1,), padding=[(0, 0)], lhs_dilation=(2,),
+        feature_group_count=C,
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return y.reshape(B, F, 2 * T, C)
 
 
 # --------------------------------------------------------------------------

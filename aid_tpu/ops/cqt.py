@@ -232,50 +232,58 @@ class CQT:
         self._nyq = (np.asarray(idx, np.int32), np.asarray(wa, _np_dtype(dtype)),
                      np.asarray(ws, _np_dtype(dtype)), nyq.M)
 
-        # Scatter-free synthesis/adjoint tables (TPU: scatter-add serializes on
-        # duplicate indices — both the synthesis accumulation and autodiff's
-        # gather-transpose would hit it in the sampler hot loop). Painless NSGT
-        # windows overlap only ADJACENT bands, so bands taken every 3rd are
-        # support-disjoint: synthesis becomes, per octave and per residue
-        # class g in {0,1,2}, ONE inverse-index gather from the flat (band,
-        # slot) coefficient array + a weight multiply; the three classes sum.
-        # Tables carry the weight for synthesis (ws) and for the analysis
-        # adjoint (wa * Ls / (2 M)); boundary bins 0 / Ls/2 never occur in the
-        # octave bands (DC/Nyquist are separate bands).
+        # Gather/scatter-free hot-path tables. TPU gathers are element-granular
+        # and slow, and scatter-adds serialize — but every NSGT band support is
+        # a CONTIGUOUS run of FFT bins, so:
+        #   analysis  = per band one STATIC slice of the half spectrum,
+        #               windowed, ifft'd, then multiplied by a static phase
+        #               ramp (folds the slot roll: ifft(roll(V, r)) =
+        #               phase_r * ifft(V));
+        #   synthesis = per band fft -> window -> CROP to its support, then the
+        #               mod-3 residue classes (support-disjoint, painless
+        #               windows overlap adjacent bands only) are rebuilt by
+        #               pure CONCATENATION with static zero gaps; 3 class
+        #               segments sum into the octave span.
+        # Everything static; no gather/scatter anywhere, forward or VJP.
         H = Ls // 2 + 1
-        self._oct_span: List[Tuple[int, int]] = []
-        self._asm: List[List[Tuple[np.ndarray, np.ndarray, np.ndarray]]] = []
+        self._seg: List[dict] = []
         for j in range(O):
             M = self.M[j]
             grp = bands[j * B:(j + 1) * B]
-            all_pos = np.concatenate([(bd.center + bd.offsets) % Ls for bd in grp])
-            assert all_pos.min() >= 1 and all_pos.max() <= Ls // 2, \
-                "octave band support escapes the half spectrum"
-            lo, hi = int(all_pos.min()), int(all_pos.max())
-            W = hi - lo + 1
-            tabs = []
+            fdt = _np_dtype(dtype)
+            starts = np.zeros(B, np.int64)
+            lens = np.zeros(B, np.int64)
+            win_a = np.zeros((B, M), fdt)
+            win_s = np.zeros((B, M), fdt)
+            phase = np.zeros((B, M), np.complex64)
+            for b, bd in enumerate(grp):
+                pos = bd.center + bd.offsets   # contiguous ascending, no wrap
+                assert np.all(np.diff(pos) == 1)
+                assert pos[0] >= 1 and pos[-1] <= Ls // 2, \
+                    "octave band support escapes the half spectrum"
+                L = len(pos)
+                starts[b], lens[b] = pos[0], L
+                win_a[b, :L] = bd.win
+                win_s[b, :L] = bd.win / D[pos]
+                r = int((pos[0] - bd.center) % M)
+                n = np.arange(M)
+                phase[b] = np.exp(2j * np.pi * r * n / M)
+            lo = int(starts.min())
+            hi = int((starts + lens).max() - 1)
+            classes = []
             for g in range(3):
-                inv = np.zeros(W, np.int64)
-                w_s = np.zeros(W, np.float64)
-                w_a = np.zeros(W, np.float64)
-                for b in range(g, B, 3):
-                    bd = grp[b]
-                    slots = bd.offsets % M
-                    pos = (bd.center + bd.offsets) % Ls
-                    rel = pos - lo
-                    assert np.all(w_s[rel] == 0.0), \
-                        f"group-{g} bands overlap in octave {j}"
-                    inv[rel] = b * M + slots
-                    w_s[rel] = bd.win / D[pos]
-                    w_a[rel] = bd.win * (Ls / (2.0 * M))
-                tabs.append((np.asarray(inv, np.int32),
-                             np.asarray(w_s, _np_dtype(dtype)),
-                             np.asarray(w_a, _np_dtype(dtype))))
-            self._oct_span.append((lo, hi))
-            self._asm.append(tabs)
-        # synthesis-adjoint weight: ws * 2 M / Ls  (see bwd custom_vjp)
-        self._oct_ws_adj = [w * (2.0 * self.M[j] / Ls)
-                            for j, w in enumerate(self._oct_ws)]
+                entries = [(int(starts[b]), int(lens[b]), b)
+                           for b in range(g, B, 3)]
+                entries.sort()
+                for (s0, l0, _), (s1, _, _) in zip(entries, entries[1:]):
+                    assert s0 + l0 <= s1, f"class-{g} overlap in octave {j}"
+                classes.append(entries)
+            self._seg.append(dict(
+                starts=starts, lens=lens, lo=lo, hi=hi, classes=classes,
+                win_a=win_a, win_s=win_s, phase=phase,
+                phase_c=np.conj(phase),
+                win_a_adj=(win_a * (Ls / (2.0 * M))).astype(fdt),
+                win_s_adj=(win_s * (2.0 * M / Ls)).astype(fdt)))
         self._H = H
 
         # apply_hpf_DC: band-subset analysis+synthesis is a diagonal frequency
@@ -306,21 +314,51 @@ class CQT:
             x = jnp.pad(x, pad)
         return x
 
-    # --- scatter-free half-spectrum kernels (the sampler/training hot path) ---
+    # --- gather/scatter-free half-spectrum kernels (the hot path) ---
+
+    def _slice_bands(self, X: jnp.ndarray, j: int, win: np.ndarray) -> jnp.ndarray:
+        """X [..., H] -> windowed band spectra [..., bins, M_j] via static
+        contiguous slices (one per band)."""
+        st = self._seg[j]
+        M = self.M[j]
+        sl = []
+        for s in st["starts"]:
+            s = int(s)
+            n = min(M, self._H - s)   # top bands: M-slice may overrun H;
+            t = jax.lax.slice_in_dim(X, s, s + n, axis=-1)
+            if n < M:                 # window is zero beyond the support
+                t = jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, M - n)])
+            sl.append(t)
+        return jnp.stack(sl, axis=-2) * win
+
+    def _concat_bands(self, U: jnp.ndarray, j: int) -> jnp.ndarray:
+        """Weighted band spectra [..., bins, M_j] -> octave span segment
+        [..., W_j] by residue-class concatenation (no scatter)."""
+        st = self._seg[j]
+        lead = U.shape[:-2]
+        out = None
+        for entries in st["classes"]:
+            pieces = []
+            cursor = st["lo"]
+            for s, L, b in entries:
+                if s > cursor:
+                    pieces.append(jnp.zeros(lead + (s - cursor,), U.dtype))
+                pieces.append(jax.lax.slice_in_dim(U[..., b, :], 0, L, axis=-1))
+                cursor = s + L
+            if cursor < st["hi"] + 1:
+                pieces.append(jnp.zeros(lead + (st["hi"] + 1 - cursor,), U.dtype))
+            seg = jnp.concatenate(pieces, axis=-1)
+            out = seg if out is None else out + seg
+        return out
 
     def _assemble_half(self, U_list: List[jnp.ndarray], adjoint: bool) -> jnp.ndarray:
-        """Sum per-octave band spectra into one half spectrum [..., H] without
-        scatters: per residue class, an inverse-index gather + weight."""
+        """Sum per-octave weighted band spectra into one half spectrum [..., H]."""
         lead = U_list[0].shape[:-2]
         half = jnp.zeros(lead + (self._H,), self._ctype)
         for j in range(self.num_octs):
-            U = U_list[j].reshape(U_list[j].shape[:-2] + (-1,))
-            lo, hi = self._oct_span[j]
-            seg = None
-            for inv, w_s, w_a in self._asm[j]:
-                t = jnp.take(U, inv, axis=-1) * (w_a if adjoint else w_s)
-                seg = t if seg is None else seg + t
-            pad = [(0, 0)] * (half.ndim - 1) + [(lo, self._H - hi - 1)]
+            st = self._seg[j]
+            seg = self._concat_bands(U_list[j], j)
+            pad = [(0, 0)] * (half.ndim - 1) + [(st["lo"], self._H - st["hi"] - 1)]
             half = half + jnp.pad(seg, pad)
         return half
 
@@ -426,10 +464,11 @@ class CQT:
 
 def _fwd_oct_impl(cqt: "CQT", xp: jnp.ndarray):
     X = jnp.fft.rfft(xp)
-    return tuple(
-        jnp.fft.ifft(jnp.take(X, cqt._oct_idx[j], axis=-1) * cqt._oct_wa[j],
-                     axis=-1)
-        for j in range(cqt.num_octs))
+    out = []
+    for j in range(cqt.num_octs):
+        V0 = cqt._slice_bands(X, j, cqt._seg[j]["win_a"])
+        out.append(jnp.fft.ifft(V0, axis=-1) * cqt._seg[j]["phase"])
+    return tuple(out)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -444,7 +483,9 @@ def _fwd_oct_fwdrule(cqt, xp):
 def _fwd_oct_bwdrule(cqt, _, dcs):
     # empirically pinned against autodiff (tests): conj on the incoming
     # cotangent, none on the assembled half spectrum
-    U = [jnp.fft.fft(jnp.conj(dc), axis=-1) for dc in dcs]
+    U = [jnp.fft.fft(jnp.conj(dc * cqt._seg[j]["phase"]), axis=-1)
+         * cqt._seg[j]["win_a_adj"]
+         for j, dc in enumerate(dcs)]
     half = cqt._assemble_half(U, adjoint=True)
     dx = jnp.fft.irfft(half, n=cqt.Ls).astype(cqt.dtype)
     return (dx,)
@@ -454,7 +495,9 @@ _fwd_oct.defvjp(_fwd_oct_fwdrule, _fwd_oct_bwdrule)
 
 
 def _bwd_oct_impl(cqt: "CQT", coeffs):
-    U = [jnp.fft.fft(c.astype(cqt._ctype), axis=-1) for c in coeffs]
+    U = [jnp.fft.fft(c.astype(cqt._ctype) * cqt._seg[j]["phase_c"], axis=-1)
+         * cqt._seg[j]["win_s"]
+         for j, c in enumerate(coeffs)]
     half = cqt._assemble_half(U, adjoint=False)
     return jnp.fft.irfft(half, n=cqt.Ls).astype(cqt.dtype)
 
@@ -472,12 +515,11 @@ def _bwd_oct_bwdrule(cqt, _, dy):
     # empirically pinned against autodiff (tests): conj on the outgoing
     # coefficient cotangents only
     G = jnp.fft.rfft(dy.astype(cqt.dtype))
-    dcs = tuple(
-        jnp.conj(jnp.fft.ifft(
-            jnp.take(G, cqt._oct_idx[j], axis=-1) * cqt._oct_ws_adj[j],
-            axis=-1))
-        for j in range(cqt.num_octs))
-    return (dcs,)
+    dcs = []
+    for j in range(cqt.num_octs):
+        V0 = cqt._slice_bands(G, j, cqt._seg[j]["win_s_adj"])
+        dcs.append(jnp.conj(jnp.fft.ifft(V0, axis=-1) * cqt._seg[j]["phase"]))
+    return (tuple(dcs),)
 
 
 _bwd_oct.defvjp(_bwd_oct_fwdrule, _bwd_oct_bwdrule)
