@@ -157,6 +157,9 @@ class Tester:
                                   os.path.join(self.base_dir, mode, sub))
 
     def _maybe_dump_rid(self, mode: str, name: str, rec) -> None:
+        """Intermediate dumps + trajectory filmstrip (reference rid .npy dumps,
+        edm_sampler_inpainting.py:184-190 / tester_inpainting.py:535-547, and
+        the diffusion animations of utils/logging.py:386-609)."""
         if not self.rid or rec is None:
             return
         d = os.path.join(self.base_dir, mode, "rid")
@@ -164,6 +167,9 @@ class Tester:
         for field in rec._fields:
             np.save(os.path.join(d, f"{name}_{field}.npy"),
                     np.asarray(getattr(rec, field)))
+        logu.plot_diffusion_trajectory(
+            np.asarray(rec.denoised), self.fs,
+            os.path.join(d, f"{name}_trajectory.png"))
 
     def _iter_test_batches(self):
         """Yield (audio [B,T] at model rate, names) batches from the test set."""
@@ -206,10 +212,28 @@ class Tester:
             fp = logu.write_audio_file(xi, self.fs, f"unconditional_{i}", d)
             logu.plot_spectrogram_from_raw_audio(xi, self.fs, fp + ".png")
 
-    def test_inpainting(self, mode: str = "inpainting") -> List[str]:
+    def test_inpainting_mushra(self) -> List[str]:
+        """Long-gap sweep for MUSHRA preparation (reference
+        test_inpainting_fordamushra, tester_inpainting.py:348-426: gap lengths
+        {371, 743, 1486, 2962} ms; paths come from config, not hard-coded)."""
+        gaps = self.t.inpainting.get("mushra_gap_lengths",
+                                     [371, 743, 1486, 2962])
+        written = []
+        for g in gaps:
+            mask_np = np.ones((1, self.audio_len), np.float32)
+            gap = int(float(g) / 1000.0 * self.fs)
+            s = (self.audio_len - gap) // 2
+            mask_np[:, s:s + gap] = 0.0
+            written += self.test_inpainting(mode=f"inpainting_mushra_{g}ms",
+                                            mask_np=mask_np)
+        return written
+
+    def test_inpainting(self, mode: str = "inpainting",
+                        mask_np: Optional[np.ndarray] = None) -> List[str]:
         """Per-file long/short-gap inpainting (reference :509-556)."""
         written = []
-        mask_np = self.prepare_mask()
+        if mask_np is None:
+            mask_np = self.prepare_mask()
         for audio, names in self._iter_test_batches():
             B = audio.shape[0]
             mask = jnp.asarray(np.broadcast_to(mask_np, (B, self.audio_len)))
@@ -369,8 +393,10 @@ class Tester:
             mode = str(mode)
             if mode == "unconditional":
                 results[mode] = self.test_unconditional()
-            elif mode in ("inpainting", "inpainting_fordamushra"):
+            elif mode == "inpainting":
                 results[mode] = self.test_inpainting(mode="inpainting")
+            elif mode in ("inpainting_fordamushra", "inpainting_mushra"):
+                results[mode] = self.test_inpainting_mushra()
             elif mode == "inpainting_shortgaps":
                 results[mode] = self.test_inpainting_short_gaps()
             elif mode == "spectrogram_inpainting":

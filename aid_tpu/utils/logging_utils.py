@@ -82,6 +82,39 @@ def plot_loss_by_sigma(bin_edges: Sequence[float], means: Sequence[float],
     return out_path
 
 
+def plot_diffusion_trajectory(xt_steps, fs: int, out_path: str,
+                              max_frames: int = 8, n_fft: int = 1024,
+                              hop: int = 256) -> Optional[str]:
+    """Spectrogram filmstrip of a sampler trajectory (the reference's
+    diffusion animations, utils/logging.py:386-609, as a static grid —
+    consumes the ``rid`` Record's xt / denoised stacks [T, B, L])."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    xt = np.asarray(xt_steps)
+    if xt.ndim == 3:
+        xt = xt[:, 0]
+    steps = np.linspace(0, xt.shape[0] - 1, min(max_frames, xt.shape[0]))
+    steps = np.unique(steps.astype(int))
+    fig, axes = plt.subplots(1, len(steps), figsize=(3 * len(steps), 3),
+                             sharey=True)
+    if len(steps) == 1:
+        axes = [axes]
+    for ax, s in zip(axes, steps):
+        S = _stft_mag_db(xt[s], n_fft, hop)
+        ax.imshow(S.T, origin="lower", aspect="auto",
+                  vmin=S.max() - 80, vmax=S.max(), cmap="magma")
+        ax.set_title(f"step {s}")
+        ax.set_xticks([]); ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=90)
+    plt.close(fig)
+    return out_path
+
+
 class WandbLogger:
     """Strictly-optional wandb sink (reference trainer.py:83-121). No-ops when
     wandb is not installed or disabled in config."""
