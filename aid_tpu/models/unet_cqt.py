@@ -259,6 +259,16 @@ class TimeAttention(nn.Module):
         return Conv2dFT(C, (1, 1), dtype=self.dtype, name="proj_out")(out)
 
 
+class NormGain(nn.Module):
+    """Owner of the norm gain param when the fused pallas path bypasses
+    BiasFreeGroupNorm (same param path: <name>/gamma — checkpoint-identical)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("gamma", nn.initializers.ones_init(), (self.features,))
+
+
 class AdaLNResBlock(nn.Module):
     """Dilated freq-conv stack with adaLN sigma-conditioning (reference ResnetBlock
     networks:382-493): per-layer ``x*(affine(emb)+1)`` scale and zero-init
@@ -272,6 +282,7 @@ class AdaLNResBlock(nn.Module):
     proj_place: str = "before"   # 'after' in decoder out-blocks
     attention: Optional[dict] = None
     fdim: int = 0
+    use_pallas: bool = False     # fused norm+adaLN+gelu kernel (ops.pallas)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -299,13 +310,22 @@ class AdaLNResBlock(nn.Module):
 
         for i in range(self.num_dils):
             h0 = h
-            if self.use_norm:
-                h = BiasFreeGroupNorm(name=f"norm_{i}")(h)
             gamma = Dense(N, dtype=self.dtype, name=f"affine_{i}")(emb)
             scale = Dense(N, scale=1e-7, dtype=self.dtype, name=f"gate_{i}")(emb)
-            h = h * (gamma[:, None, None, :] + 1.0)
+            if self.use_pallas and self.use_norm:
+                from aid_tpu.ops.pallas.fused_adaln import (group_std,
+                                                            norm_adaln_gelu)
+                ng = NormGain(N, name=f"norm_{i}")()
+                g = norm_adaln_gelu(h, group_std(h, 8), ng,
+                                    gamma.astype(jnp.float32), 1e-7, 8
+                                    ).astype(self.dtype)
+            else:
+                if self.use_norm:
+                    h = BiasFreeGroupNorm(name=f"norm_{i}")(h)
+                h = h * (gamma[:, None, None, :] + 1.0)
+                g = jax.nn.gelu(h, approximate=False)
             h = Conv2dFT(N, self.kernel, dilation=(2 ** i, 1), dtype=self.dtype,
-                         name=f"conv_{i}")(jax.nn.gelu(h, approximate=False))
+                         name=f"conv_{i}")(g)
             h = (h0 + h * scale[:, None, None, :]) / math.sqrt(2.0)
 
         if self.proj_place == "after" and N != self.dim_out:
@@ -392,13 +412,17 @@ class UnetCQT(nn.Module):
     use_fencoding: bool = False
     num_bottleneck_layers: int = 1
     remat: bool = False   # rematerialize each res block (trade FLOPs for HBM
+    use_pallas: bool = False  # fused norm+adaLN+gelu pallas kernel
     dtype: Any = jnp.float32  # in guidance backprops / large-batch training)
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray, cnoise: jnp.ndarray) -> jnp.ndarray:
         O = self.cqt.num_octs
         bins = self.cqt.bins_per_oct
-        Block = nn.remat(AdaLNResBlock) if self.remat else AdaLNResBlock
+        import functools as _ft
+        Block = _ft.partial(
+            nn.remat(AdaLNResBlock) if self.remat else AdaLNResBlock,
+            use_pallas=self.use_pallas)
         emb = RFFEmbedding(self.emb_dim, dtype=self.dtype, name="embedding")(cnoise)
 
         # analysis: list low->high octave of complex [B, 1, bins, M_j]
@@ -509,5 +533,6 @@ def build_unet(args, device=None) -> UnetCQT:
         use_fencoding=net.use_fencoding,
         num_bottleneck_layers=getattr(net, "num_bottleneck_layers", 1),
         remat=bool(net.get("remat", False)),
+        use_pallas=bool(net.get("use_pallas_fused", False)),
         dtype=dtype,
     )
