@@ -58,3 +58,15 @@ def test_test_time_diff_param_override():
     assert p.Schurn == pytest.approx(10.0)
     p_train = edm.EDMParams.from_args(args.diff_params)
     assert p_train.sigma_max == pytest.approx(10.0)
+
+
+def test_io_logger_and_local_open_url(tmp_path):
+    from aid_tpu.utils.io import Logger, open_url
+    p = tmp_path / "log.txt"
+    with Logger(str(p)) as lg:
+        print("hello-tee")
+    assert "hello-tee" in p.read_text()
+    f = tmp_path / "blob.bin"
+    f.write_bytes(b"xyz")
+    with open_url(str(f)) as fh:
+        assert fh.read() == b"xyz"

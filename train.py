@@ -18,6 +18,9 @@ def _main(args) -> int:
         print(yaml.safe_dump(args.to_dict(), sort_keys=False))
         return 0
 
+    if bool(args.exp.get("debug_nans", False)):
+        jax.config.update("jax_debug_nans", True)
+
     print(f"devices: {jax.device_count()} x {jax.devices()[0].platform}",
           flush=True)
     diff_params = asetup.setup_diff_parameters(args)
