@@ -59,16 +59,18 @@ def main() -> None:
     y_masked = y * mask
 
     key = jax.random.PRNGKey(1)
-    # warmup / compile
+    # warmup / compile. NOTE: on the axon tunnel block_until_ready() may
+    # return before remote execution finishes; a scalar readback is the only
+    # reliable sync (adds ~27 ms RTT, negligible vs seconds-long programs).
     out = sampler.predict_inpainting(y_masked, mask, key)
-    out.block_until_ready()
+    float(jnp.sum(out))
 
     times = []
     for i in range(reps):
         k = jax.random.fold_in(key, i)
         t0 = time.time()
         out = sampler.predict_inpainting(y_masked, mask, k)
-        out.block_until_ready()
+        float(jnp.sum(out))
         times.append(time.time() - t0)
 
     wall = min(times)
