@@ -29,10 +29,21 @@ _SQRT2 = math.sqrt(2.0)
 _INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
+def _erf_poly(z):
+    """erf via Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7 — f32-exact).
+    lax.erf has no Pallas-TPU lowering; this uses only VPU primitives."""
+    s = jnp.sign(z)
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+               + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
 def _kernel(x_ref, inv_ref, mod_ref, o_ref):
     x = x_ref[:].astype(jnp.float32)
     v = x * (inv_ref[:] * mod_ref[:])          # [1,1,C] broadcasts in VMEM
-    o_ref[:] = (0.5 * v * (1.0 + jax.lax.erf(v / _SQRT2))).astype(o_ref.dtype)
+    o_ref[:] = (0.5 * v * (1.0 + _erf_poly(v / _SQRT2))).astype(o_ref.dtype)
 
 
 def _fused_fwd_impl(x: jnp.ndarray, inv: jnp.ndarray, mod: jnp.ndarray,

@@ -139,3 +139,40 @@ def test_shape_mismatch_raises(flax_params):
     bad[k0] = np.zeros((1, 1, 1, 1), np.float32)
     with pytest.raises(ValueError):
         ckpt.convert_state_dict(bad, flax_params)
+
+
+def test_load_reference_pt_end_to_end(flax_params, tmp_path):
+    """Full path: torch.save a reference-layout checkpoint dict
+    ({'it','network','optimizer','ema','args'}, trainer.py:187-194 format)
+    -> Tester-style load through checkpoint_torch.load_reference_checkpoint."""
+    import torch
+    from aid_tpu.models.bundle import NetBundle
+    from aid_tpu.models.unet_cqt import UnetCQT
+    from aid_tpu.ops.cqt import get_cqt
+
+    flat = jax.tree_util.tree_flatten_with_path(flax_params["params"])[0]
+    sd = {}
+    for path, v in flat:
+        p = tuple(k.key for k in path)
+        sd[_inverse_key(p)] = torch.from_numpy(
+            np.asarray(_inverse_value(p, v)).copy())
+    payload = {"it": 750000, "network": sd, "ema": sd, "optimizer": {},
+               "args": {"exp": {"audio_len": TINY["audio_len"]}}}
+    pt = str(tmp_path / "maestro_tiny-750000.pt")
+    torch.save(payload, pt)
+
+    cqt = get_cqt(**TINY)
+    model = UnetCQT(cqt=cqt, Ns=(8, 16, 16), num_dils=(1, 2, 2),
+                    attention_layers=(0, 1, 1, 1),
+                    attention=dict(num_heads=2, bias_qkv=False,
+                                   use_rel_pos=True),
+                    emb_dim=32)
+    bundle = NetBundle(module=model, params=flax_params)
+    loaded = ckpt.load_reference_checkpoint(pt, bundle)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        loaded, flax_params)
+    # and the loaded tree actually drives the network
+    bundle.params = loaded
+    y = bundle.apply(jnp.zeros((1, TINY["audio_len"])), jnp.zeros((1, 1)))
+    assert y.shape == (1, TINY["audio_len"])
