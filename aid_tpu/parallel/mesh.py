@@ -21,11 +21,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "dp"
 
 
-def make_mesh(n_dp: int = -1, devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data-parallel mesh over all (or the first n_dp) devices."""
+def make_mesh(n_dp: int = -1, devices: Optional[Sequence] = None,
+              batch: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the first n_dp) devices.
+
+    When ``batch`` is given, the mesh is clamped to the largest device count
+    that divides the global batch (a batch smaller than the pod slice should
+    degrade to fewer devices, not error out)."""
     devs = list(devices if devices is not None else jax.devices())
     if n_dp is not None and n_dp > 0:
         devs = devs[:n_dp]
+    if batch is not None:
+        n = len(devs)
+        while n > 1 and batch % n != 0:
+            n -= 1
+        devs = devs[:n]
     return Mesh(np.asarray(devs), (DATA_AXIS,))
 
 

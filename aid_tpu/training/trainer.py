@@ -162,7 +162,8 @@ class Trainer:
         self.p = (diff_params.params if hasattr(diff_params, "params")
                   else diff_params)
 
-        self.mesh = pmesh.make_mesh(int(args.exp.get("mesh", {}).get("dp", -1)))
+        self.mesh = pmesh.make_mesh(int(args.exp.get("mesh", {}).get("dp", -1)),
+                                    batch=int(args.exp.batch))
         self.n_accum = int(self.exp.get("num_accumulation_rounds", 1))
         self.it = 0
         self.total_its = int(self.exp.get("total_its", 10 ** 9))
