@@ -162,9 +162,10 @@ class Trainer:
         self.p = (diff_params.params if hasattr(diff_params, "params")
                   else diff_params)
 
-        self.mesh = pmesh.make_mesh(int(args.exp.get("mesh", {}).get("dp", -1)),
-                                    batch=int(args.exp.batch))
         self.n_accum = int(self.exp.get("num_accumulation_rounds", 1))
+        self.mesh = pmesh.make_mesh(
+            int(args.exp.get("mesh", {}).get("dp", -1)),
+            batch=int(args.exp.batch) // self.n_accum)
         self.it = 0
         self.total_its = int(self.exp.get("total_its", 10 ** 9))
 
@@ -323,8 +324,20 @@ class Trainer:
 
     def train_step(self, audio, fs):
         self.key, k = jax.random.split(self.key)
-        batch = pmesh.shard_batch(self.mesh, audio)
-        fs_arr = jnp.asarray(fs)
+        if self.n_accum > 1:
+            # loader yields the flat global batch; micro-batches split here
+            # (reference trainer.py:259-266 accumulation loop semantics):
+            # [n_accum, B, T] sharded over dp on the B axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            audio = np.asarray(audio).reshape(
+                self.n_accum, -1, np.asarray(audio).shape[-1])
+            fs = np.asarray(fs).reshape(self.n_accum, -1)
+            sh = NamedSharding(self.mesh, P(None, pmesh.DATA_AXIS))
+            batch = jax.make_array_from_process_local_data(sh, audio)
+            fs_arr = jnp.asarray(fs)
+        else:
+            batch = pmesh.shard_batch(self.mesh, audio)
+            fs_arr = jnp.asarray(fs)
         self.state, metrics = self._jit_step(self.state, batch, fs_arr, k)
         return metrics
 

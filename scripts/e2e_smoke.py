@@ -1,0 +1,136 @@
+"""End-to-end TPU smoke: train a tiny CQTDiff+ on synthetic audio, then
+inpaint a gap with the trained EMA weights and verify reconstruction quality.
+
+Proves the full loop — data -> jitted train step -> EMA -> checkpoint ->
+sampler with guidance + data consistency — actually LEARNS, without needing
+any dataset or released checkpoint. Target: inpainted-gap SNR clearly above
+the masked input's (which is -inf in the gap) and above what random weights
+produce.
+
+Run: python scripts/e2e_smoke.py  (~10 min incl. remote compiles)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/aid_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from aid_tpu import setup as asetup
+    from aid_tpu.utils.config import compose
+
+    L = 16384
+    fs = 22050
+    its = int(os.environ.get("SMOKE_ITS", "400"))
+    args = compose(overrides=[
+        "exp=test_cqtdiff_22k",
+        f"exp.audio_len={L}",
+        "exp.batch=8",
+        f"exp.total_its={its}",
+        "exp.lr=3e-4",
+        "exp.lr_rampup_it=50",
+        "exp.ema_rampup=50",
+        "network.cqt.num_octs=5",
+        "network.cqt.bins_per_oct=16",
+        "network.Ns=[16,24,24,32,32]",
+        "network.num_dils=[1,2,2,3,3]",
+        "network.attention_layers=[0,0,0,1,1,1]",
+        "network.compute_dtype=bfloat16",
+        "tester.T=25",
+        "tester.order=2",
+        "tester.posterior_sampling.xi=0.25",
+        "logging.save_model=False",
+        "logging.log_interval=100",
+        "logging.print_model_summary=False",
+        "diff_params.sigma_data=0.2",
+        "tester.diff_params.sigma_data=0.2",
+        "model_dir=/tmp/aid_tpu_smoke",
+    ])
+
+    # synthetic "music": random 3-note chords from a pentatonic set with a
+    # shared envelope — highly structured, learnable by a tiny net
+    notes = np.asarray([220.0, 261.6, 329.6, 392.0, 440.0])
+    t = np.arange(L) / fs
+
+    def make_batch(rng, n):
+        x = np.zeros((n, L), np.float32)
+        for i in range(n):
+            f0 = rng.choice(notes, size=3, replace=False)
+            ph = rng.uniform(0, 2 * np.pi, 3)
+            # envelope floor keeps every region audible (an SNR-in-the-gap
+            # check against near-silence is meaningless)
+            env = 0.7 + 0.3 * np.sin(2 * np.pi * rng.uniform(0.3, 1.0) * t
+                                     + rng.uniform(0, 6.28))
+            x[i] = env * sum(0.12 * np.sin(2 * np.pi * f * t + p)
+                             for f, p in zip(f0, ph))
+        return x.astype(np.float32)
+
+    class SynthSet:
+        def __init__(self):
+            self.rng = np.random.default_rng(0)
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            return make_batch(self.rng, 8), np.full((8,), fs, np.int64)
+
+    bundle = asetup.setup_network(args)
+    ediff = asetup.setup_diff_parameters(args)
+    trainer = asetup.setup_trainer(args, dset=SynthSet(), network=bundle,
+                                   diff_params=ediff)
+    t0 = time.time()
+    trainer.init_state()
+    print(f"init: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    final_it = trainer.training_loop()
+    print(f"trained {final_it} its in {time.time()-t0:.1f}s", flush=True)
+
+    # persist EMA for offline debugging/iteration
+    import orbax.checkpoint as ocp
+    ocp.PyTreeCheckpointer().save(
+        "/tmp/aid_tpu_smoke/ema.ckpt",
+        {"ema": jax.device_get(trainer.state.ema),
+         "network": jax.device_get(trainer.state.params)}, force=True)
+
+    # inpaint with EMA weights
+    bundle.params = jax.device_get(trainer.state.ema)
+    sampler = asetup.setup_sampler(args, network=bundle, diff_params=ediff)
+    rng = np.random.default_rng(99)
+    clean = make_batch(rng, 1)
+    gap = int(0.05 * fs)                      # 50 ms gap
+    s = (L - gap) // 2
+    mask = np.ones((1, L), np.float32)
+    mask[:, s:s + gap] = 0.0
+    y_masked = jnp.asarray(clean * mask)
+    rec = sampler.predict_inpainting(y_masked, jnp.asarray(mask),
+                                     jax.random.PRNGKey(5))
+    rec = np.asarray(rec)
+
+    g = slice(s, s + gap)
+    err = rec[0, g] - clean[0, g]
+    snr = 10 * np.log10(np.sum(clean[0, g] ** 2) / (np.sum(err ** 2) + 1e-12))
+    print(f"gap SNR after training: {snr:.2f} dB", flush=True)
+    out_dir = "/tmp/aid_tpu_smoke"
+    os.makedirs(out_dir, exist_ok=True)
+    from aid_tpu.utils import logging_utils as logu
+    logu.write_audio_file(clean[0], fs, "clean", out_dir)
+    logu.write_audio_file(np.asarray(y_masked)[0], fs, "masked", out_dir)
+    logu.write_audio_file(rec[0], fs, "reconstructed", out_dir)
+    ok = snr > 3.0
+    print("E2E SMOKE", "PASS" if ok else "FAIL", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

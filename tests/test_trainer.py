@@ -110,3 +110,26 @@ def test_lr_ramp_schedule():
     # step 0: lr = 0 -> no update beyond clip/adam scale by zero
     updates, state = tx.update(g, state, params)
     assert float(jnp.max(jnp.abs(updates["w"]))) < 1e-6
+
+
+def test_gradient_accumulation(tmp_path):
+    args = _tiny_args(str(tmp_path), batch=8, its=2)
+    args = compose(overrides=[
+        "exp=test_cqtdiff_22k", "exp.audio_len=2048", "exp.batch=8",
+        "exp.num_accumulation_rounds=2", "exp.total_its=2",
+        "network.cqt.num_octs=3", "network.cqt.bins_per_oct=8",
+        "network.Ns=[8,16,16]", "network.num_dils=[1,1,1]",
+        "network.attention_layers=[0,0,0,0]",
+        "logging.print_model_summary=False",
+        f"model_dir={tmp_path}",
+    ])
+    bundle = asetup.setup_network(args)
+    ediff = asetup.setup_diff_parameters(args)
+    tr = asetup.setup_trainer(args, dset=_SynthData(8, 2048), network=bundle,
+                              diff_params=ediff)
+    tr.init_state()
+    audio, fs = tr.get_batch()
+    m = tr.train_step(audio, fs)
+    assert np.isfinite(float(np.asarray(m["loss"])))
+    bins = np.asarray(m["sigma_bins"])
+    assert int(bins[:, 0].sum()) == 8  # all samples across micro-batches
