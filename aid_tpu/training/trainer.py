@@ -147,6 +147,25 @@ def make_train_step(
     return step
 
 
+def _shape_matched_copy(target, source):
+    """Copy source leaves onto target wherever path+shape agree."""
+    flat_src = {tuple(k.key for k in p): v for p, v in
+                jax.tree_util.tree_flatten_with_path(source)[0]}
+    copied = [0]
+
+    def pick(path, tgt):
+        key = tuple(k.key for k in path)
+        src = flat_src.get(key)
+        if src is not None and tuple(np.shape(src)) == tuple(tgt.shape):
+            copied[0] += 1
+            return jnp.asarray(src, tgt.dtype)
+        return tgt
+
+    out = jax.tree_util.tree_map_with_path(pick, target)
+    print(f"[resume] shape-matched partial load: {copied[0]} leaves copied")
+    return out
+
+
 class Trainer:
     """Training orchestrator (constructor contract mirrors the reference's
     Trainer(args, dset, network, optimizer, diff_params, tester, device),
@@ -263,7 +282,11 @@ class Trainer:
                       key=lambda q: int(re.findall(r"-(\d+)\.ckpt$", q)[0]))
 
     def resume_from_checkpoint(self, path: Optional[str] = None) -> bool:
-        """Latest-checkpoint scan + tolerant load (reference trainer.py:139-184)."""
+        """Latest-checkpoint scan + tolerant load (reference trainer.py:139-184
+        plus the shape-matched-copy strategy of training_utils.py:214-382:
+        when the saved tree doesn't match the current config exactly, every
+        leaf with an identical path+shape is copied and the rest keep their
+        fresh initialization)."""
         if path is None:
             cks = self._checkpoints()
             if not cks:
@@ -273,9 +296,25 @@ class Trainer:
         params = restored["network"]
         ema = restored.get("ema", params)
         it = int(restored.get("it", 0))
+        opt_state = restored.get("optimizer")
+
+        if self.bundle.params is not None:
+            ref = jax.tree_util.tree_structure(self.bundle.params)
+            try:
+                same = ref == jax.tree_util.tree_structure(params)
+            except Exception:
+                same = False
+            if not same or any(
+                    tuple(a.shape) != tuple(b.shape)
+                    for a, b in zip(jax.tree_util.tree_leaves(self.bundle.params),
+                                    jax.tree_util.tree_leaves(params))):
+                params = _shape_matched_copy(self.bundle.params, params)
+                ema = _shape_matched_copy(self.bundle.params, ema)
+                opt_state = None  # optimizer restarts on partial loads
+
         state = TrainState(
             params=params, ema=ema,
-            opt_state=restored.get("optimizer") or self.tx.init(params),
+            opt_state=opt_state if opt_state is not None else self.tx.init(params),
             it=jnp.asarray(it, jnp.int32))
         self.state = pmesh.replicate(self.mesh, state)
         self.bundle.params = self.state.params

@@ -87,6 +87,28 @@ def main():
 
     bundle = asetup.setup_network(args)
     ediff = asetup.setup_diff_parameters(args)
+
+    # untrained baseline for the same task (fair difficulty reference)
+    rng = np.random.default_rng(99)
+    clean = make_batch(rng, 1)
+    gap = int(0.05 * fs)
+    s = (L - gap) // 2
+    mask = np.ones((1, L), np.float32)
+    mask[:, s:s + gap] = 0.0
+    y_masked = jnp.asarray(clean * mask)
+
+    def gap_snr(rec):
+        g = slice(s, s + gap)
+        err = np.asarray(rec)[0, g] - clean[0, g]
+        return float(10 * np.log10(np.sum(clean[0, g] ** 2)
+                                   / (np.sum(err ** 2) + 1e-12)))
+
+    bundle.init(jax.random.PRNGKey(0), 1, L)
+    sampler0 = asetup.setup_sampler(args, network=bundle, diff_params=ediff)
+    snr_untrained = gap_snr(sampler0.predict_inpainting(
+        y_masked, jnp.asarray(mask), jax.random.PRNGKey(5)))
+    print(f"gap SNR untrained: {snr_untrained:.2f} dB", flush=True)
+
     trainer = asetup.setup_trainer(args, dset=SynthSet(), network=bundle,
                                    diff_params=ediff)
     t0 = time.time()
@@ -106,28 +128,19 @@ def main():
     # inpaint with EMA weights
     bundle.params = jax.device_get(trainer.state.ema)
     sampler = asetup.setup_sampler(args, network=bundle, diff_params=ediff)
-    rng = np.random.default_rng(99)
-    clean = make_batch(rng, 1)
-    gap = int(0.05 * fs)                      # 50 ms gap
-    s = (L - gap) // 2
-    mask = np.ones((1, L), np.float32)
-    mask[:, s:s + gap] = 0.0
-    y_masked = jnp.asarray(clean * mask)
-    rec = sampler.predict_inpainting(y_masked, jnp.asarray(mask),
-                                     jax.random.PRNGKey(5))
-    rec = np.asarray(rec)
-
-    g = slice(s, s + gap)
-    err = rec[0, g] - clean[0, g]
-    snr = 10 * np.log10(np.sum(clean[0, g] ** 2) / (np.sum(err ** 2) + 1e-12))
-    print(f"gap SNR after training: {snr:.2f} dB", flush=True)
+    rec = np.asarray(sampler.predict_inpainting(y_masked, jnp.asarray(mask),
+                                                jax.random.PRNGKey(5)))
+    snr = gap_snr(rec)
+    print(f"gap SNR after training: {snr:.2f} dB "
+          f"(untrained {snr_untrained:.2f})", flush=True)
     out_dir = "/tmp/aid_tpu_smoke"
     os.makedirs(out_dir, exist_ok=True)
     from aid_tpu.utils import logging_utils as logu
     logu.write_audio_file(clean[0], fs, "clean", out_dir)
     logu.write_audio_file(np.asarray(y_masked)[0], fs, "masked", out_dir)
     logu.write_audio_file(rec[0], fs, "reconstructed", out_dir)
-    ok = snr > 3.0
+    # pass = training moved the needle decisively vs the untrained baseline
+    ok = snr > snr_untrained + 5.0
     print("E2E SMOKE", "PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 

@@ -133,3 +133,40 @@ def test_gradient_accumulation(tmp_path):
     assert np.isfinite(float(np.asarray(m["loss"])))
     bins = np.asarray(m["sigma_bins"])
     assert int(bins[:, 0].sum()) == 8  # all samples across micro-batches
+
+
+def test_shape_matched_partial_resume(tmp_path):
+    args = compose(overrides=[
+        "exp=test_cqtdiff_22k", "exp.audio_len=2048", "exp.batch=8",
+        "network.cqt.num_octs=3", "network.cqt.bins_per_oct=8",
+        "network.Ns=[8,16,16]", "network.num_dils=[1,1,1]",
+        "network.attention_layers=[0,0,0,0]",
+        "logging.print_model_summary=False",
+        f"model_dir={tmp_path}",
+    ])
+    bundle = asetup.setup_network(args)
+    ediff = asetup.setup_diff_parameters(args)
+    tr = asetup.setup_trainer(args, dset=_SynthData(8, 2048), network=bundle,
+                              diff_params=ediff)
+    tr.init_state()
+    path = tr.save_checkpoint()
+
+    # a WIDER network config: only matching-shape leaves restore
+    args2 = compose(overrides=[
+        "exp=test_cqtdiff_22k", "exp.audio_len=2048", "exp.batch=8",
+        "network.cqt.num_octs=3", "network.cqt.bins_per_oct=8",
+        "network.Ns=[8,16,32]", "network.num_dils=[1,1,1]",
+        "network.attention_layers=[0,0,0,0]",
+        "logging.print_model_summary=False",
+        f"model_dir={tmp_path}",
+    ])
+    bundle2 = asetup.setup_network(args2)
+    tr2 = asetup.setup_trainer(args2, dset=_SynthData(8, 2048),
+                               network=bundle2, diff_params=ediff)
+    tr2.init_state()
+    assert tr2.resume_from_checkpoint(path)
+    # matching leaf got copied
+    a = np.asarray(jax.device_get(tr.state.params))["params"] if False else None
+    ref_leaf = jax.device_get(tr.state.params)["params"]["embedding"]["mlp_0"]["kernel"]
+    new_leaf = jax.device_get(tr2.state.params)["params"]["embedding"]["mlp_0"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(ref_leaf), np.asarray(new_leaf))
