@@ -266,13 +266,42 @@ class TimeAttention(nn.Module):
 
 
 class NormGain(nn.Module):
-    """Owner of the norm gain param when the fused pallas path bypasses
-    BiasFreeGroupNorm (same param path: <name>/gamma — checkpoint-identical)."""
+    """Owner of the norm gain param when a merged/fused path bypasses the
+    BiasFreeGroupNorm module (same param path: <name>/gamma —
+    checkpoint-identical)."""
     features: int
 
     @nn.compact
     def __call__(self):
         return self.param("gamma", nn.initializers.ones_init(), (self.features,))
+
+
+def _group_std_f32(x: jnp.ndarray, groups: int = 8) -> jnp.ndarray:
+    """Bessel-corrected std over (F, T, C/G) per (batch, group), reduced in
+    f32 regardless of x.dtype (the BiasFreeGroupNorm reduction, torch .std
+    ddof=1 semantics). Returns [B, G] f32."""
+    B, F, T, C = x.shape
+    g = groups
+    xf = x.reshape(B, F, T, g, C // g)
+    n = F * T * (C // g)
+    m1 = jnp.mean(xf, axis=(1, 2, 4), dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(xf), axis=(1, 2, 4), dtype=jnp.float32)
+    var = jnp.maximum(m2 - m1 * m1, 0.0) * (n / (n - 1.0))
+    return jnp.sqrt(var)
+
+
+def _norm_adaln_scale(x, gain, aff, eps: float = 1e-7, groups: int = 8):
+    """One-pass equivalent of BiasFreeGroupNorm followed by the adaLN
+    (1 + affine) modulation: x * [(gain / (std+eps)) * (1+aff)] — the combined
+    per-(batch, channel) multiplier is tiny, so the activation tensor is
+    touched ONCE instead of twice (this chain is HBM-bound on TPU)."""
+    B, F, T, C = x.shape
+    g = groups
+    std = _group_std_f32(x, g)                                   # [B, G]
+    mult = (gain.astype(jnp.float32).reshape(1, g, C // g)
+            / (std[:, :, None] + eps)).reshape(B, C)
+    mult = mult * (1.0 + aff.astype(jnp.float32))
+    return x * mult[:, None, None, :].astype(x.dtype)
 
 
 class AdaLNResBlock(nn.Module):
@@ -303,8 +332,10 @@ class AdaLNResBlock(nn.Module):
             gamma = Dense(N, dtype=self.dtype, name="affine_attn")(emb)
             scale = Dense(N, scale=1e-7, dtype=self.dtype, name="gate_attn")(emb)
             if self.use_norm:
-                h = BiasFreeGroupNorm(name="norm_attn")(h)
-            h = h * (gamma[:, None, None, :] + 1.0)
+                ng = NormGain(N, name="norm_attn")()
+                h = _norm_adaln_scale(h, ng, gamma)
+            else:
+                h = h * (gamma[:, None, None, :] + 1.0)
             h = TimeAttention(
                 channels=N, fdim=self.fdim, num_heads=a.get("num_heads", 8),
                 bias_qkv=a.get("bias_qkv", False),
@@ -325,11 +356,13 @@ class AdaLNResBlock(nn.Module):
                 g = norm_adaln_gelu(h, group_std(h, 8), ng,
                                     gamma.astype(jnp.float32), 1e-7, 8
                                     ).astype(self.dtype)
+            elif self.use_norm:
+                ng = NormGain(N, name=f"norm_{i}")()
+                g = jax.nn.gelu(_norm_adaln_scale(h, ng, gamma),
+                                approximate=False)
             else:
-                if self.use_norm:
-                    h = BiasFreeGroupNorm(name=f"norm_{i}")(h)
-                h = h * (gamma[:, None, None, :] + 1.0)
-                g = jax.nn.gelu(h, approximate=False)
+                h2 = h * (gamma[:, None, None, :] + 1.0)
+                g = jax.nn.gelu(h2, approximate=False)
             h = Conv2dFT(N, self.kernel, dilation=(2 ** i, 1), dtype=self.dtype,
                          name=f"conv_{i}")(g)
             h = (h0 + h * scale[:, None, None, :]) / math.sqrt(2.0)

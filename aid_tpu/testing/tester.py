@@ -413,4 +413,11 @@ class Tester:
                 results[mode] = self.test_autoregressive()
             else:
                 print(f"[tester] unknown mode {mode!r}, skipped")
+            # objective metrics wherever an original/reconstructed pair exists
+            mode_dir = os.path.join(self.base_dir, mode)
+            if os.path.isdir(os.path.join(mode_dir, "reconstructed")):
+                from aid_tpu.testing import metrics as ametrics
+                scores = ametrics.score_directory(mode_dir)
+                if "__mean__" in scores:
+                    print(f"[tester] {mode} metrics: {scores['__mean__']}")
         return results

@@ -98,3 +98,26 @@ def test_checkpoint_load_orbax(tiny, tmp_path):
     ocp.PyTreeCheckpointer().save(path, payload)
     assert tester.load_checkpoint(path)
     assert tester.load_latest_checkpoint(str(tmp_path))
+
+
+def test_metrics_module(tmp_path):
+    from aid_tpu.testing import metrics as am
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(8192).astype(np.float32) * 0.1
+    assert am.lsd(x, x) < 1e-4
+    assert am.snr(x, x) > 100
+    assert am.spectral_convergence(x, x) < 1e-6
+    y = x + rng.standard_normal(8192).astype(np.float32) * 0.1
+    assert am.lsd(x, y) > 1.0
+    assert am.snr(x, y) < 3.0
+
+    # score a fake output tree
+    from aid_tpu.data import audio_io
+    d = tmp_path / "inpainting"
+    for sub in ("original", "reconstructed"):
+        (d / sub).mkdir(parents=True)
+    audio_io.write(str(d / "original" / "a.wav"), x, 22050)
+    audio_io.write(str(d / "reconstructed" / "a.wav"), y, 22050)
+    scores = am.score_directory(str(d))
+    assert "a.wav" in scores and "__mean__" in scores
+    assert (d / "metrics.json").exists()
