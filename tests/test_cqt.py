@@ -180,3 +180,15 @@ def test_custom_vjp_matches_autodiff():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     np.testing.assert_allclose(np.asarray(cqt.bwd(cs)), np.asarray(bwd_ref(cs)),
                                atol=1e-5)
+
+
+def test_flagship_designs_construct():
+    """Both released-model CQT designs must construct with valid painless
+    frames (MAESTRO 22k/7oct, MusicNet 44k/8oct — reference conf/network/*)."""
+    from aid_tpu.ops.cqt import CQT
+    for num_octs, fs in ((7, 22050.0), (8, 44100.0)):
+        c = CQT(num_octs, 64, fs, 184184, window=("kaiser", 1.0))
+        assert len(c.M) == num_octs
+        for a, b in zip(c.M, c.M[1:]):
+            assert b == 2 * a
+        assert c.Ls >= 184184 and c.Ls % (2 ** (num_octs + 5)) == 0
