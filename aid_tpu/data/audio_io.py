@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import ctypes
 import os
-import struct
 import wave as _wave
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Iterator, Optional
 
 import numpy as np
 

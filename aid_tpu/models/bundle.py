@@ -8,7 +8,7 @@ JAX equivalent is this explicit (module, params) pair with a convenience
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

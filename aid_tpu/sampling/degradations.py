@@ -9,7 +9,7 @@ clipping (edm_sampler.py:359-384), STFT magnitude for phase retrieval
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

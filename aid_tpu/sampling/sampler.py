@@ -18,7 +18,7 @@ applied at construction.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ import numpy as np
 
 from aid_tpu.diffusion import edm
 from aid_tpu.sampling import degradations as degr
-from aid_tpu.sampling.heun import Record, SamplerConfig, heun_sample, make_score_fn
+from aid_tpu.sampling.heun import SamplerConfig, heun_sample, make_score_fn
 
 
 class Sampler:

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
-from aid_tpu.utils.registry import call_func_by_name, get_obj_by_name
+from aid_tpu.utils.registry import call_func_by_name
 
 
 def setup_dataset(args) -> Any:

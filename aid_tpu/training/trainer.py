@@ -15,7 +15,6 @@ trainer.py:363 — a quirk SURVEY.md §7 says not to replicate).
 """
 from __future__ import annotations
 
-import functools
 import glob
 import os
 import re
@@ -27,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.training import orbax_utils  # noqa: F401  (kept for orbax forward-compat)
 import orbax.checkpoint as ocp
 
 from aid_tpu.diffusion import edm
