@@ -136,7 +136,7 @@ class BiasFreeGroupNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, F, T, C = x.shape
-        g = self.num_groups
+        g = min(self.num_groups, C)
         gamma = self.param("gamma", nn.initializers.ones_init(), (C,))
         xf = x.astype(jnp.float32).reshape(B, F, T, g, C // g)
         n = F * T * (C // g)
@@ -281,7 +281,7 @@ def _group_std_f32(x: jnp.ndarray, groups: int = 8) -> jnp.ndarray:
     f32 regardless of x.dtype (the BiasFreeGroupNorm reduction, torch .std
     ddof=1 semantics). Returns [B, G] f32."""
     B, F, T, C = x.shape
-    g = groups
+    g = min(groups, C)  # tiny test configs; real configs always have C >= 64
     xf = x.reshape(B, F, T, g, C // g)
     n = F * T * (C // g)
     m1 = jnp.mean(xf, axis=(1, 2, 4), dtype=jnp.float32)
@@ -296,7 +296,7 @@ def _norm_adaln_scale(x, gain, aff, eps: float = 1e-7, groups: int = 8):
     per-(batch, channel) multiplier is tiny, so the activation tensor is
     touched ONCE instead of twice (this chain is HBM-bound on TPU)."""
     B, F, T, C = x.shape
-    g = groups
+    g = min(groups, C)
     std = _group_std_f32(x, g)                                   # [B, G]
     mult = (gain.astype(jnp.float32).reshape(1, g, C // g)
             / (std[:, :, None] + eps)).reshape(B, C)

@@ -144,3 +144,19 @@ def test_dilated_conv_regrouping_matches_direct(d):
         x, w, (1, 1), "SAME", rhs_dilation=(d, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+
+
+def test_eight_octave_architecture():
+    """The MusicNet 44k flagship shape path: 8 octaves, 9 attention slots
+    (reference conf/network/paper_1912_unet_cqt_oct_attention_44k_2.yaml)."""
+    cqt = get_cqt(8, 4, 16384.0, 8192)
+    model = UnetCQT(
+        cqt=cqt, Ns=(4, 4, 8, 8, 8, 8, 8, 8), num_dils=(1, 1, 1, 1, 1, 2, 2, 2),
+        attention_layers=(0, 0, 0, 0, 0, 1, 1, 1, 1),
+        attention=dict(num_heads=2), emb_dim=16,
+    )
+    x = jnp.zeros((1, 8192))
+    cn = jnp.zeros((1, 1))
+    p = jax.jit(model.init)(jax.random.PRNGKey(0), x, cn)
+    y = jax.jit(model.apply)(p, x, cn)
+    assert y.shape == (1, 8192)
