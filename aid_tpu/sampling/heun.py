@@ -181,9 +181,10 @@ def heun_sample(
     k_last = jax.random.fold_in(k_churn, cfg.T - 1)
     x, rec_last = step(x, t[-2], t[-1], gamma[-1], k_last, last=True)
 
-    if (cfg.data_consistency_end or cfg.data_consistency) and proj_end is not None:
-        if cfg.data_consistency_end:
-            x = proj_end(x)
+    # "always" mode needs no extra projection: the final Euler step lands on
+    # the already-projected x_hat (reference :247,256-257)
+    if cfg.data_consistency_end and proj_end is not None:
+        x = proj_end(x)
 
     if cfg.record:
         record = jax.tree_util.tree_map(

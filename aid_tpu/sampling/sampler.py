@@ -54,6 +54,7 @@ class Sampler:
         )
         self.smooth = bool(dc.use) and bool(dc.get("smooth", False))
         self.hann_size = int(dc.get("hann_size", 50))
+        self._programs = {}   # (task, static-key) -> compiled program
 
     # ------------------------------------------------------------------ core
 
@@ -114,18 +115,36 @@ class Sampler:
             return x, rec
         return x
 
+    def _cached_program(self, task_key, builder):
+        """One compiled program per (task, static-config) key: building a
+        fresh jax.jit closure per call would retrace/recompile every test-set
+        item (minutes each on the remote-compile backend)."""
+        prog = self._programs.get(task_key)
+        if prog is None:
+            prog = jax.jit(builder())
+            self._programs[task_key] = prog
+        return prog
+
     def predict_spectrogram_inpainting(self, y_masked, mask_FT, key):
-        """STFT-domain rectangular mask inpainting (reference :348-364)."""
+        """STFT-domain rectangular mask inpainting (reference :348-364).
+        mask_FT is a traced argument — repainting the mask never recompiles."""
         p, cfg = self.p, self.cfg
-        apply_mask = degr.spectral_mask(mask_FT, self.args.tester.spectrogram_inpainting.stft)
 
-        def run(params, key, y):
-            proj = degr.spectral_projector(y, apply_mask)
-            score = make_score_fn(p, cfg, self._denoise_fn(params), y=y,
-                                  degradation=apply_mask, proj=proj, hpf=self._hpf())
-            return heun_sample(key, y.shape, p, cfg, score, proj_end=proj)
+        def build():
+            stft_cfg = self.args.tester.spectrogram_inpainting.stft
 
-        x, rec = jax.jit(run)(self.model.params, key, y_masked)
+            def run(params, key, y, m):
+                apply_mask = degr.spectral_mask(m, stft_cfg)
+                proj = degr.spectral_projector(y, apply_mask)
+                score = make_score_fn(p, cfg, self._denoise_fn(params), y=y,
+                                      degradation=apply_mask, proj=proj,
+                                      hpf=self._hpf())
+                return heun_sample(key, y.shape, p, cfg, score, proj_end=proj)
+
+            return run
+
+        x, rec = self._cached_program(("spec_inpaint",), build)(
+            self.model.params, key, y_masked, mask_FT)
         return (x, rec) if self.rid else x
 
     def predict_bwe(self, y_lowpassed, key, fc: float, fs: float,
@@ -145,40 +164,60 @@ class Sampler:
             raise ValueError(f"unknown BWE filter {filter_type!r}")
         p, cfg = self.p, self.cfg
 
-        def run(params, key, y):
-            proj = lambda x: y + x - lpf(x)
-            score = make_score_fn(p, cfg, self._denoise_fn(params), y=y,
-                                  degradation=lpf, proj=proj, hpf=self._hpf())
-            return heun_sample(key, y.shape, p, cfg, score, proj_end=proj)
+        def build():
+            def run(params, key, y):
+                proj = lambda x: y + x - lpf(x)
+                score = make_score_fn(p, cfg, self._denoise_fn(params), y=y,
+                                      degradation=lpf, proj=proj,
+                                      hpf=self._hpf())
+                return heun_sample(key, y.shape, p, cfg, score, proj_end=proj)
 
-        x, rec = jax.jit(run)(self.model.params, key, y_lowpassed)
+            return run
+
+        x, rec = self._cached_program(
+            ("bwe", filter_type, float(fc), float(fs), int(order)), build)(
+            self.model.params, key, y_lowpassed)
         return (x, rec) if self.rid else x
 
     def predict_declipping(self, y_clipped, key, clip_value: float):
-        """Declipping (reference SamplerDeclipping, edm_sampler.py:359-384)."""
+        """Declipping (reference SamplerDeclipping, edm_sampler.py:359-384).
+        clip_value is a traced argument (per-file clip levels, one program)."""
         p, cfg = self.p, self.cfg
-        clip = degr.hard_clip(clip_value)
 
-        def run(params, key, y):
-            score = make_score_fn(p, cfg, self._denoise_fn(params), y=y,
-                                  degradation=clip, proj=None, hpf=self._hpf())
-            return heun_sample(key, y.shape, p, cfg, score)
+        def build():
+            def run(params, key, y, cv):
+                clip = lambda x: jnp.clip(x, -cv, cv)
+                score = make_score_fn(p, cfg, self._denoise_fn(params), y=y,
+                                      degradation=clip, proj=None,
+                                      hpf=self._hpf())
+                return heun_sample(key, y.shape, p, cfg, score)
 
-        x, rec = jax.jit(run)(self.model.params, key, y_clipped)
+            return run
+
+        x, rec = self._cached_program(("declip",), build)(
+            self.model.params, key, y_clipped, jnp.float32(clip_value))
         return (x, rec) if self.rid else x
 
     def predict_phase_retrieval(self, y_mag, shape, key):
         """Phase retrieval from STFT magnitudes (reference SamplerPhaseRetrieval,
         edm_sampler.py:308-336)."""
         p, cfg = self.p, self.cfg
-        mag = degr.stft_magnitude(self.args.tester.spectrogram_inpainting.stft)
 
-        def run(params, key, y):
-            score = make_score_fn(p, cfg, self._denoise_fn(params), y=y,
-                                  degradation=mag, proj=None, hpf=self._hpf())
-            return heun_sample(key, shape, p, cfg, score)
+        def build():
+            stft_cfg = self.args.tester.spectrogram_inpainting.stft
+            mag = degr.stft_magnitude(stft_cfg)
+            shp = tuple(shape)
 
-        x, rec = jax.jit(run, static_argnames=())(self.model.params, key, y_mag)
+            def run(params, key, y):
+                score = make_score_fn(p, cfg, self._denoise_fn(params), y=y,
+                                      degradation=mag, proj=None,
+                                      hpf=self._hpf())
+                return heun_sample(key, shp, p, cfg, score)
+
+            return run
+
+        x, rec = self._cached_program(("phase", tuple(shape)), build)(
+            self.model.params, key, y_mag)
         return (x, rec) if self.rid else x
 
     def predict_compsens(self, y_subsampled, mask, key):
