@@ -276,6 +276,22 @@ class NormGain(nn.Module):
         return self.param("gamma", nn.initializers.ones_init(), (self.features,))
 
 
+class ConvParam(nn.Module):
+    """Owner of a conv kernel param when the fused megakernel path bypasses
+    the Conv2dFT module (same param path: <name>/kernel — checkpoint-identical
+    with Conv2dFT's)."""
+    features: int
+    in_features: int
+    kernel: Tuple[int, int] = (5, 3)
+    scale: float = math.sqrt(1.0 / 3.0)
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel
+        return self.param("kernel", scaled_uniform(self.scale),
+                          (kh, kw, self.in_features, self.features))
+
+
 def _group_std_f32(x: jnp.ndarray, groups: int = 8) -> jnp.ndarray:
     """Bessel-corrected std over (F, T, C/G) per (batch, group), reduced in
     f32 regardless of x.dtype (the BiasFreeGroupNorm reduction, torch .std
@@ -318,6 +334,7 @@ class AdaLNResBlock(nn.Module):
     attention: Optional[dict] = None
     fdim: int = 0
     use_pallas: bool = False     # fused norm+adaLN+gelu kernel (ops.pallas)
+    use_megakernel: bool = False  # fully fused adaLN+conv layer (ops.pallas)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -349,6 +366,30 @@ class AdaLNResBlock(nn.Module):
             h0 = h
             gamma = Dense(N, dtype=self.dtype, name=f"affine_{i}")(emb)
             scale = Dense(N, scale=1e-7, dtype=self.dtype, name=f"gate_{i}")(emb)
+            from aid_tpu.ops.pallas.conv_block import (fused_adaln_conv_layer,
+                                                       supported_channels)
+            if (self.use_megakernel and self.kernel == (5, 3)
+                    and supported_channels(N)):
+                # ONE Pallas pass: norm-scale + adaLN + gelu + dilated conv +
+                # gate/residual epilogue (aid_tpu.ops.pallas.conv_block). The
+                # group-std reduction stays in XLA (needs the global view).
+                # Unsupported channel counts (96: neither C nor 2C is a lane
+                # multiple) keep the XLA path below.
+                B, F, T, _ = h.shape
+                gm = gamma.astype(jnp.float32)
+                if self.use_norm:
+                    ng = NormGain(N, name=f"norm_{i}")()
+                    gsz = min(8, N)
+                    std = _group_std_f32(h, gsz)                    # [B, G]
+                    mult = (ng.astype(jnp.float32).reshape(1, gsz, N // gsz)
+                            / (std[:, :, None] + 1e-7)).reshape(B, N)
+                    mult = mult * (1.0 + gm)
+                else:
+                    mult = jnp.broadcast_to(1.0 + gm, (B, N))
+                wk = ConvParam(N, N, name=f"conv_{i}")()
+                h = fused_adaln_conv_layer(
+                    h, mult, scale.astype(jnp.float32), wk, 2 ** i)
+                continue
             if self.use_pallas and self.use_norm:
                 from aid_tpu.ops.pallas.fused_adaln import (group_std,
                                                             norm_adaln_gelu)
@@ -452,6 +493,7 @@ class UnetCQT(nn.Module):
     num_bottleneck_layers: int = 1
     remat: bool = False   # rematerialize each res block (trade FLOPs for HBM
     use_pallas: bool = False  # fused norm+adaLN+gelu pallas kernel
+    use_megakernel: bool = False  # fully fused adaLN+conv pallas layer
     dtype: Any = jnp.float32  # in guidance backprops / large-batch training)
 
     @nn.compact
@@ -461,7 +503,7 @@ class UnetCQT(nn.Module):
         import functools as _ft
         Block = _ft.partial(
             nn.remat(AdaLNResBlock) if self.remat else AdaLNResBlock,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas, use_megakernel=self.use_megakernel)
         emb = RFFEmbedding(self.emb_dim, dtype=self.dtype, name="embedding")(cnoise)
 
         # analysis: list low->high octave of complex [B, 1, bins, M_j]
@@ -573,5 +615,6 @@ def build_unet(args, device=None) -> UnetCQT:
         num_bottleneck_layers=getattr(net, "num_bottleneck_layers", 1),
         remat=bool(net.get("remat", False)),
         use_pallas=bool(net.get("use_pallas_fused", False)),
+        use_megakernel=bool(net.get("use_conv_megakernel", False)),
         dtype=dtype,
     )

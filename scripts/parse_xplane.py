@@ -59,9 +59,9 @@ def main():
                 by_cat[cat] += dur
                 opname = str(stats.get("tf_op", stats.get("op_name", "")))
                 # collapse to model-block path: e.g. down_1_res/conv_0
-                m = re.search(r"(jvp|transpose)?\(?UnetCQT\)?/([\w/]+)", opname)
+                m = re.search(r"(transpose\(jvp|jvp)\(UnetCQT\)+/([\w/]+)", opname)
                 if m:
-                    part = "bwd" if (m.group(1) == "transpose") else "fwd"
+                    part = "bwd" if m.group(1).startswith("transpose") else "fwd"
                     path = m.group(2)
                     segs = path.split("/")
                     blk = segs[0]
