@@ -12,8 +12,17 @@ Under XLA this costs, per layer, ~4 extra HBM passes over the activation
 top of the conv itself — measured 22% "data formatting" + 24% loop-fusion time
 per guided score (scripts/parse_xplane.py on the flagship trace). This kernel
 computes the whole layer in ONE pass: read a haloed window of h from HBM,
-gelu it in VMEM, run the 15 taps as MXU matmuls with f32 accumulation, apply
-the gate+residual epilogue, write out.
+gelu it in VMEM (straight into a freq-tap-concatenated [M, 5C] operand), one
+deep [M, 5C] @ [5C, 3N] MXU dot, 3-slice shift-combine + gate/residual
+epilogue, write out.
+
+STATUS (measured on v5e, see PARITY.md): correct and checkpoint-compatible,
+but SLOWER than the XLA path end to end — per-layer trace at the L3 shape:
+820 us for XLA's conv+fusions vs 1.0-1.7 ms for kernel variants (15 narrow
+dots / 5 wide dots / 1 deep dot). XLA overlaps DMA/MXU/VPU across ops; this
+kernel's phases serialize per grid step. Shipped flag-gated OFF
+(network.use_conv_megakernel); the next lever is in-kernel double-buffered
+pipelining (emit_pipeline) of the window DMAs against the dot.
 
 Mosaic constraints honored (PARITY.md round-2 notes):
   * no erf lowering -> polynomial erf (|err| <= 1.5e-7, f32-exact);
@@ -80,8 +89,9 @@ def _pick_blocks(F: int, T: int, C: int, d: int,
 
     def cost(bf, bt):
         win = (bf + 4 * d) * (bt + 2 * _TH) * Cp * 2
+        g5 = bf * (bt + 2 * _TH) * 5 * Cp * 2
         acc3 = bf * (bt + 2 * _TH) * 3 * Cp * 4
-        return 2 * win + 2 * acc3 + 3 * bf * bt * Cp * 2
+        return win + g5 + 2 * acc3 + 2 * bf * bt * Cp * 2
 
     bts = [t for t in (512, 256, 128, 64, 32, 16) if t <= T and T % t == 0] or [T]
     bfs = [f for f in (64, 48, 32, 24, 16, 12, 8, 6, 4, 2)
@@ -150,35 +160,29 @@ def _fwd_kernel(BF, BT, d, F, T, h_hbm, mult_ref, gate_ref, w_ref, out_ref,
     _load_window(h_hbm, win, b, fi, ti, BF, BT, d, F, T)
 
     mult = mult_ref[0, 0][None, None, :]                    # [1,1,C] f32
+    C = win.shape[-1]
 
-    # Row-chunked elementwise: full-window f32 elementwise chains would
-    # materialize window-sized f32 temporaries and blow the 16M scoped-VMEM
-    # limit; per-row-chunk loops keep temps at chunk size.
-    rows = BF + 4 * d
-    ch = 2 if rows % 2 == 0 else 1
+    # gelu the window straight into the freq-tap-concatenated operand
+    # g5[r, t, i*C + c] = gelu(win[r + i*d, t, c] * mult): the 5 freq taps sit
+    # side by side in lanes so the whole conv is ONE deep matmul
+    # [M, 5C] @ [5C, 3N] — no accumulator churn, K = 5C deep for the MXU.
+    # Row-chunked (full-window f32 temps would blow scoped VMEM); overlapping
+    # rows recompute gelu up to 5x — VPU work, noise next to the dot.
+    ch = 2 if BF % 2 == 0 else 1
 
     def gelu_rows(r, _):
-        wr = win[pl.ds(r * ch, ch)].astype(jnp.float32)
-        g[pl.ds(r * ch, ch)] = _gelu_f32(wr * mult).astype(g.dtype)
+        for i in range(5):
+            wr = win[pl.ds(r * ch + i * d, ch)].astype(jnp.float32)
+            g[pl.ds(r * ch, ch), :, i * C:(i + 1) * C] = _gelu_f32(
+                wr * mult).astype(g.dtype)
         return 0
 
-    jax.lax.fori_loop(0, rows // ch, gelu_rows, 0)
+    jax.lax.fori_loop(0, BF // ch, gelu_rows, 0)
 
-    # One WIDE dot per freq tap ([M, C] @ [C, 3N], time taps side by side in
-    # the output lanes), then a single 3-slice shift-combine in the epilogue:
-    # per-tap time slices at unaligned sublane offsets each cost a relayout
-    # pass, so they are done once, not 15 times.
-    acc[:] = jnp.zeros_like(acc)
-
-    def tap(i, _):
-        q = jax.lax.dot_general(
-            g[pl.ds(i * d, BF)], w_ref[i],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # [BF, BT+2TH, 3N]
-        acc[:] = acc[:] + q
-        return 0
-
-    jax.lax.fori_loop(0, 5, tap, 0)
+    acc[:] = jax.lax.dot_general(
+        g[...], w_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [BF, BT+2TH, 3N]
 
     # bf16 epilogue: conv result downcast before the gate/residual math, the
     # same numeric path as the unfused model (conv output cast to bf16 there)
@@ -215,27 +219,22 @@ def _bwd_kernel(BF, BT, d, F, T, dout_hbm, h_hbm, mult_ref, gate_ref, wf_ref,
     _load_window(dout_hbm, win, b, fi, ti, BF, BT, d, F, T)
 
     gate = gate_ref[0, 0][None, None, :]
-    rows = BF + 4 * d
-    ch = 2 if rows % 2 == 0 else 1
+    C = dh_ref.shape[-1]
+    ch = 2 if BF % 2 == 0 else 1
 
     def gate_rows(r, _):
-        wr = win[pl.ds(r * ch, ch)].astype(jnp.float32)
-        g[pl.ds(r * ch, ch)] = (wr * (gate * _INV_SQRT2)).astype(g.dtype)
+        for i in range(5):
+            wr = win[pl.ds(r * ch + i * d, ch)].astype(jnp.float32)
+            g[pl.ds(r * ch, ch), :, i * C:(i + 1) * C] = (
+                wr * (gate * _INV_SQRT2)).astype(g.dtype)
         return 0
 
-    jax.lax.fori_loop(0, rows // ch, gate_rows, 0)
+    jax.lax.fori_loop(0, BF // ch, gate_rows, 0)
 
-    acc[:] = jnp.zeros_like(acc)
-
-    def tap(i, _):
-        q = jax.lax.dot_general(
-            g[pl.ds(i * d, BF)], wf_ref[i],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # [BF, BT+2TH, 3C]
-        acc[:] = acc[:] + q
-        return 0
-
-    jax.lax.fori_loop(0, 5, tap, 0)
+    acc[:] = jax.lax.dot_general(
+        g[...], wf_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [BF, BT+2TH, 3C]
 
     def run(sem):
         cp = pltpu.make_async_copy(
@@ -247,8 +246,6 @@ def _bwd_kernel(BF, BT, d, F, T, dout_hbm, h_hbm, mult_ref, gate_ref, wf_ref,
 
     mult = mult_ref[0, 0][None, None, :]
     cho = 2 if BF % 2 == 0 else 1
-
-    C = dh_ref.shape[-1]
 
     def epi_rows(r, carry):
         a = acc[pl.ds(r * cho, cho)]                        # [cho, BT+2TH, 3C]
@@ -299,20 +296,20 @@ def _fwd_call(h, mult, gate, w, d):
                          memory_space=pltpu.VMEM),                 # mult
             pl.BlockSpec((1, 1, C), lambda b, f, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),                 # gate
-            pl.BlockSpec((5, C, 3 * N), lambda b, f, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),                 # w3
+            pl.BlockSpec((5 * C, 3 * N), lambda b, f, t: (0, 0),
+                         memory_space=pltpu.VMEM),                 # w5
         ],
         out_specs=pl.BlockSpec((1, BF, BT, N), lambda b, f, t: (b, f, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, F, T, N), h.dtype),
         scratch_shapes=[
             pltpu.VMEM((BF + 4 * d, BT + 2 * _TH, C), h.dtype),    # win
-            pltpu.VMEM((BF + 4 * d, BT + 2 * _TH, C), h.dtype),    # g
+            pltpu.VMEM((BF, BT + 2 * _TH, 5 * C), h.dtype),        # g5
             pltpu.VMEM((BF, BT + 2 * _TH, 3 * N), jnp.float32),    # acc3
         ],
         interpret=_interpret(),
     )(h, mult[:, None, :], gate[:, None, :],
-      w.transpose(0, 2, 1, 3).reshape(5, C, 3 * N))
+      w.transpose(0, 2, 1, 3).reshape(5 * C, 3 * N))
 
 
 def _bwd_call(dout, h, mult, gate, wf, d):
@@ -333,7 +330,7 @@ def _bwd_call(dout, h, mult, gate, wf, d):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, C), lambda b, f, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, C, 3 * C), lambda b, f, t: (0, 0, 0),
+            pl.BlockSpec((5 * C, 3 * C), lambda b, f, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -348,13 +345,13 @@ def _bwd_call(dout, h, mult, gate, wf, d):
         ],
         scratch_shapes=[
             pltpu.VMEM((BF + 4 * d, BT + 2 * _TH, C), dout.dtype),
-            pltpu.VMEM((BF + 4 * d, BT + 2 * _TH, C), dout.dtype),
+            pltpu.VMEM((BF, BT + 2 * _TH, 5 * C), dout.dtype),     # dy5
             pltpu.VMEM((BF, BT + 2 * _TH, 3 * C), jnp.float32),    # dg acc3
             pltpu.VMEM((BF, BT, C), dout.dtype),                   # h center
         ],
         interpret=_interpret(),
     )(dout, h, mult[:, None, :], gate[:, None, :],
-      wf.transpose(0, 2, 1, 3).reshape(5, C, 3 * C))
+      wf.transpose(0, 2, 1, 3).reshape(5 * C, 3 * C))
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,7 @@ import numpy as np
 
 from aid_tpu.diffusion import edm
 from aid_tpu.sampling import degradations as degr
+from aid_tpu.utils.xla import compiler_options
 from aid_tpu.sampling.heun import SamplerConfig, heun_sample, make_score_fn
 
 
@@ -82,7 +83,8 @@ class Sampler:
             score = make_score_fn(p, cfg, self._denoise_fn(params), hpf=self._hpf())
             return heun_sample(key, shape, p, cfg, score)
 
-        return jax.jit(run, static_argnames=("shape",))
+        return jax.jit(run, static_argnames=("shape",),
+                       compiler_options=compiler_options())
 
     @functools.cached_property
     def _jit_inpaint(self):
@@ -95,7 +97,7 @@ class Sampler:
                 degradation=degr.time_mask(mask), proj=proj, hpf=self._hpf())
             return heun_sample(key, y_masked.shape, p, cfg, score, proj_end=proj)
 
-        return jax.jit(run)
+        return jax.jit(run, compiler_options=compiler_options())
 
     # ----------------------------------------------------------------- tasks
 
@@ -121,7 +123,7 @@ class Sampler:
         item (minutes each on the remote-compile backend)."""
         prog = self._programs.get(task_key)
         if prog is None:
-            prog = jax.jit(builder())
+            prog = jax.jit(builder(), compiler_options=compiler_options())
             self._programs[task_key] = prog
         return prog
 
