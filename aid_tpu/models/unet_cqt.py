@@ -75,6 +75,23 @@ class Dense(nn.Module):
         return y
 
 
+def _foldf_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(5,3,C,N) kernel -> (3,3,2C,2N) kernel of the freq-pair-folded conv:
+    a (5,3) conv on [*,F,T,C] equals a (3,3) conv on [*,F/2,T,2C] (freq pairs
+    packed into lanes). 1.2x nominal MACs for 2x lane width — a win when
+    C < 128 leaves MXU lanes half-empty. Runtime transform of the SAME
+    checkpoint param; differentiable for training."""
+    kh, kw, C, N = w.shape
+    w3 = jnp.zeros((3, kw, 2 * C, 2 * N), w.dtype)
+    for s in (0, 1):          # output slot (f parity)
+        for r in range(5):    # original freq tap
+            q = s + r - 2
+            pair_off, slot_in = q // 2, q % 2
+            w3 = w3.at[pair_off + 1, :, slot_in * C:(slot_in + 1) * C,
+                       s * N:(s + 1) * N].add(w[r])
+    return w3
+
+
 class Conv2dFT(nn.Module):
     """Bias-free conv over (F, T) with freq dilation; input [B, F, T, C]."""
     features: int
@@ -82,6 +99,7 @@ class Conv2dFT(nn.Module):
     dilation: Tuple[int, int] = (1, 1)
     scale: float = math.sqrt(1.0 / 3.0)
     use_bias: bool = False
+    foldf: bool = False   # freq-pair lane packing for narrow-channel convs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -93,7 +111,28 @@ class Conv2dFT(nn.Module):
         w = w.astype(self.dtype)
         d = self.dilation[0]
         B, F, T, C = x.shape
-        if d >= 8 and self.dilation[1] == 1 and F % d == 0:
+        if (self.foldf and (kh, kw) == (5, 3) and self.dilation[1] == 1
+                and C <= 64 and F % d == 0 and (F // d) % 2 == 0):
+            # regroup residue classes (dilated -> plain per class), then fold
+            # freq pairs into lanes so C=64 convs use all 128 MXU lanes
+            N = self.features
+            if d > 1:
+                z = x.reshape(B, F // d, d, T, C).transpose(0, 2, 1, 3, 4)
+                z = z.reshape(B * d, F // d, T, C)
+            else:
+                z = x
+            Bz, Fz = z.shape[0], z.shape[1]
+            z = z.reshape(Bz, Fz // 2, 2, T, C)
+            z = z.transpose(0, 1, 3, 2, 4).reshape(Bz, Fz // 2, T, 2 * C)
+            y = jax.lax.conv_general_dilated(
+                z, _foldf_weights(w).astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y.reshape(Bz, Fz // 2, T, 2, N)
+            y = y.transpose(0, 1, 3, 2, 4).reshape(Bz, Fz, T, N)
+            if d > 1:
+                y = y.reshape(B, d, F // d, T, N)
+                y = y.transpose(0, 2, 1, 3, 4).reshape(B, F, T, N)
+        elif d >= 8 and self.dilation[1] == 1 and F % d == 0:
             # measured on v5e: direct rhs_dilation convs are fine for small d
             # (0.3-0.5 ms at flagship shapes) and regrouping only wins at
             # large d where the dilated footprint gets cache-hostile
@@ -335,6 +374,7 @@ class AdaLNResBlock(nn.Module):
     fdim: int = 0
     use_pallas: bool = False     # fused norm+adaLN+gelu kernel (ops.pallas)
     use_megakernel: bool = False  # fully fused adaLN+conv layer (ops.pallas)
+    conv_foldf: bool = False     # freq-pair lane packing for C<=64 convs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -405,7 +445,7 @@ class AdaLNResBlock(nn.Module):
                 h2 = h * (gamma[:, None, None, :] + 1.0)
                 g = jax.nn.gelu(h2, approximate=False)
             h = Conv2dFT(N, self.kernel, dilation=(2 ** i, 1), dtype=self.dtype,
-                         name=f"conv_{i}")(g)
+                         foldf=self.conv_foldf, name=f"conv_{i}")(g)
             h = (h0 + h * scale[:, None, None, :]) / math.sqrt(2.0)
 
         if self.proj_place == "after" and N != self.dim_out:
@@ -494,6 +534,7 @@ class UnetCQT(nn.Module):
     remat: bool = False   # rematerialize each res block (trade FLOPs for HBM
     use_pallas: bool = False  # fused norm+adaLN+gelu pallas kernel
     use_megakernel: bool = False  # fully fused adaLN+conv pallas layer
+    conv_foldf: bool = False  # freq-pair lane packing for C<=64 convs
     dtype: Any = jnp.float32  # in guidance backprops / large-batch training)
 
     @nn.compact
@@ -503,7 +544,8 @@ class UnetCQT(nn.Module):
         import functools as _ft
         Block = _ft.partial(
             nn.remat(AdaLNResBlock) if self.remat else AdaLNResBlock,
-            use_pallas=self.use_pallas, use_megakernel=self.use_megakernel)
+            use_pallas=self.use_pallas, use_megakernel=self.use_megakernel,
+            conv_foldf=self.conv_foldf)
         emb = RFFEmbedding(self.emb_dim, dtype=self.dtype, name="embedding")(cnoise)
 
         # analysis: list low->high octave of complex [B, 1, bins, M_j]
@@ -616,5 +658,6 @@ def build_unet(args, device=None) -> UnetCQT:
         remat=bool(net.get("remat", False)),
         use_pallas=bool(net.get("use_pallas_fused", False)),
         use_megakernel=bool(net.get("use_conv_megakernel", False)),
+        conv_foldf=bool(net.get("conv_foldf", False)),
         dtype=dtype,
     )

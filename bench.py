@@ -14,7 +14,6 @@ vs_baseline is against the driver-set north star of 10x real time per chip
 """
 import json
 import os
-import sys
 import time
 
 import numpy as np

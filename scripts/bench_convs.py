@@ -16,7 +16,6 @@ Usage: python scripts/bench_convs.py
 import os
 import sys
 import time
-from functools import partial
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

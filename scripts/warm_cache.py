@@ -53,6 +53,14 @@ def warm(overrides):
     print(f"[warm] unconditional sampler: {time.time()-t0:.0f}s", flush=True)
 
     t0 = time.time()
+    # flagship training on ONE 15.75G chip needs remat (README quick start);
+    # warming the no-remat variant just OOMs the compiler
+    if "network.remat=True" not in overrides:
+        args = compose(overrides=overrides + ["network.remat=True",
+                                              "logging.print_model_summary=False",
+                                              "model_dir=/tmp/aid_tpu_warm"])
+        bundle = asetup.setup_network(args)
+        bundle.init(jax.random.PRNGKey(0), 1, L)
     trainer = asetup.setup_trainer(args, dset=None, network=bundle,
                                    diff_params=ediff)
     trainer.init_state()
