@@ -277,6 +277,7 @@ class TimeAttention(nn.Module):
     use_rel_pos: bool = False
     rel_pos_num_buckets: int = 32
     rel_pos_max_distance: int = 64
+    context_parallel: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -291,15 +292,29 @@ class TimeAttention(nn.Module):
                    dtype=self.dtype, name="qk")(z)                     # [B, T, (h 2F)]
         qk = qk.reshape(B, T, H, 2 * F).transpose(0, 2, 1, 3)          # [B, H, T, 2F]
         q, k = jnp.split(qk, 2, axis=-1)
-        sim = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32),
-                         k.astype(jnp.float32))
-        if self.use_rel_pos:
-            sim = sim + RelPositionBias(self.rel_pos_num_buckets,
-                                        self.rel_pos_max_distance, H,
-                                        name="rel_pos")(T, T)
-        sim = sim * (float(F) ** -0.5)
-        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)                   # [B, H, T, F]
+        bias = (RelPositionBias(self.rel_pos_num_buckets,
+                                self.rel_pos_max_distance, H,
+                                name="rel_pos")(T, T)
+                if self.use_rel_pos else None)
+        from aid_tpu.parallel.ring_attention import get_cp_mesh, ring_attention
+        cp = get_cp_mesh() if self.context_parallel else None
+        if cp is not None and T % cp.shape["cp"] == 0:
+            # time axis sharded over the cp ring (SURVEY section 5: the
+            # idiomatic scaling story past the octave-CQT time halving).
+            # NB the reference applies the F^-0.5 scale AFTER the bias add,
+            # so the bias is pre-scaled here.
+            out = ring_attention(
+                q, k, v, cp,
+                bias=None if bias is None else bias * float(F) ** -0.5,
+                scale=float(F) ** -0.5).astype(self.dtype)
+        else:
+            sim = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32),
+                             k.astype(jnp.float32))
+            if bias is not None:
+                sim = sim + bias
+            sim = sim * (float(F) ** -0.5)
+            attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)               # [B, H, T, F]
         out = out.transpose(0, 3, 2, 1)                                # [B, F, T, H]
         return Conv2dFT(C, (1, 1), dtype=self.dtype, name="proj_out")(out)
 
@@ -399,6 +414,7 @@ class AdaLNResBlock(nn.Module):
                 use_rel_pos=a.get("use_rel_pos", False),
                 rel_pos_num_buckets=a.get("rel_pos_num_buckets", 32),
                 rel_pos_max_distance=a.get("rel_pos_max_distance", 64),
+                context_parallel=a.get("context_parallel", False),
                 dtype=self.dtype, name="attn")(h) * scale[:, None, None, :]
             h = (h + i_h) / math.sqrt(2.0)
 

@@ -160,3 +160,29 @@ def test_eight_octave_architecture():
     p = jax.jit(model.init)(jax.random.PRNGKey(0), x, cn)
     y = jax.jit(model.apply)(p, x, cn)
     assert y.shape == (1, 8192)
+
+
+@pytest.mark.parametrize("d", [1, 2, 4])
+def test_conv_foldf_matches_direct(d):
+    """Conv2dFT's freq-pair lane packing (conv_foldf, default-on in the
+    flagship configs) must equal the straightforward dilated conv — the
+    folded (3,3) kernel is a runtime transform of the same param."""
+    from aid_tpu.models.unet_cqt import Conv2dFT
+    B, F, T, C, N = 2, 16, 12, 4, 6
+    x = jnp.asarray(np.random.default_rng(d).standard_normal((B, F, T, C)),
+                    jnp.float32)
+    m = Conv2dFT(N, (5, 3), dilation=(d, 1), foldf=True)
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    w = params["params"]["kernel"]
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", rhs_dilation=(d, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+    # gradient w.r.t. the ORIGINAL param flows through the fold
+    g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(params)
+    gref = jax.grad(lambda wv: jnp.sum(jax.lax.conv_general_dilated(
+        x, wv, (1, 1), "SAME", rhs_dilation=(d, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(g["params"]["kernel"]),
+                               np.asarray(gref), atol=2e-4)
