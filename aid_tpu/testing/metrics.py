@@ -20,7 +20,9 @@ def _stft_mag(x: np.ndarray, n_fft: int = 1024, hop: int = 256) -> np.ndarray:
     import jax.numpy as jnp
     from aid_tpu.ops import stft as stft_ops
     X = stft_ops.stft(jnp.asarray(x, jnp.float32)[None], n_fft, hop, n_fft)[0]
-    return np.abs(np.asarray(X))
+    # |X| on DEVICE: device-to-host of complex64 is unimplemented on the axon
+    # TPU backend (f32 transfers fine), and the magnitude is all we need
+    return np.asarray(jnp.abs(X))
 
 
 def lsd(reference: np.ndarray, estimate: np.ndarray, n_fft: int = 1024,

@@ -26,3 +26,21 @@ def compiler_options() -> Optional[dict]:
 def scoped_vmem_bytes() -> int:
     """The scoped-VMEM limit the next compile will run under (bytes)."""
     return int(os.environ.get("AID_TPU_SCOPED_VMEM_KIB", "16384")) * 1024
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compile cache for the CLI entry points.
+
+    The flagship guided sampler takes ~13 min to compile remotely; users
+    should pay that once per (config, jax version), like bench.py always has.
+    Opt out with AID_TPU_NO_COMPILE_CACHE=1.
+    """
+    if os.environ.get("AID_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("AID_TPU_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/aid_tpu_xla")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

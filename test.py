@@ -15,6 +15,9 @@ def _main(args) -> int:
     import jax
 
     from aid_tpu import setup as asetup
+    from aid_tpu.utils.xla import enable_compile_cache
+
+    enable_compile_cache()
 
     print(f"devices: {jax.device_count()} x {jax.devices()[0].platform}",
           flush=True)

@@ -12,6 +12,9 @@ def _main(args) -> int:
     import jax
 
     from aid_tpu import setup as asetup
+    from aid_tpu.utils.xla import enable_compile_cache
+
+    enable_compile_cache()
 
     if bool(args.get("dry_run", False)):
         import yaml
