@@ -56,12 +56,23 @@ def _deep_merge(base: dict, over: dict) -> dict:
 
 
 def _set_dotted(tree: dict, dotted: str, value: Any) -> None:
+    intentional = dotted.startswith("+")   # hydra-style "add new key" marker
+    dotted = dotted.lstrip("+")
     keys = dotted.split(".")
     node = tree
+    fresh = False
     for k in keys[:-1]:
         if k not in node or not isinstance(node[k], dict):
             node[k] = {}
+            fresh = True
         node = node[k]
+    if (fresh or keys[-1] not in node) and not intentional:
+        # hydra errors on unknown overrides; this permissive composer at
+        # least warns — a silently-created key is usually a typo (e.g.
+        # tester.inpainting.gap_length instead of ...inpainting.long.gap_length)
+        import sys
+        print(f"[config] NOTE: override creates NEW key {dotted!r} "
+              f"(not present in the composed config — typo?)", file=sys.stderr)
     node[keys[-1]] = value
 
 
