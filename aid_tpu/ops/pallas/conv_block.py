@@ -91,9 +91,21 @@ def _pick_blocks(F: int, T: int, C: int, d: int,
         win = (bf + 4 * d) * (bt + 2 * _TH) * Cp * 2
         g5 = bf * (bt + 2 * _TH) * 5 * Cp * 2
         acc3 = bf * (bt + 2 * _TH) * 3 * Cp * 4
-        return win + g5 + 2 * acc3 + 2 * bf * bt * Cp * 2
+        hc = bf * bt * Cp * 2  # bwd-only 'h center' scratch; blocks are
+        # shared between fwd and bwd so the budget covers the larger (bwd) set
+        return win + g5 + 2 * acc3 + 2 * bf * bt * Cp * 2 + hc
 
-    bts = [t for t in (512, 256, 128, 64, 32, 16) if t <= T and T % t == 0] or [T]
+    # BT must stay >= _TH: _load_window's halo offset (ti-1)*BT+(BT-_TH)
+    # requires a non-negative constant term (Mosaic) and a halo that fits in
+    # the previous block. Shapes with no valid BT take the XLA path instead.
+    bts = [t for t in (512, 256, 128, 64, 32, 16) if t <= T and T % t == 0]
+    if not bts:
+        if T >= _TH:
+            bts = [T]
+        else:
+            raise ValueError(
+                f"conv megakernel needs T >= {_TH} (got T={T}); "
+                f"use the XLA conv path for this shape")
     bfs = [f for f in (64, 48, 32, 24, 16, 12, 8, 6, 4, 2)
            if f <= F and F % f == 0] or [F]
     best = None

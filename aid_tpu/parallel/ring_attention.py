@@ -117,10 +117,19 @@ _CP_MESH: Optional[Mesh] = None
 
 
 def set_cp_mesh(mesh: Optional[Mesh]) -> None:
-    """Install (or clear, with None) the mesh whose ``cp`` axis shards time."""
+    """Install (or clear, with None) the mesh whose ``cp`` axis shards time.
+
+    The mesh is read at TRACE time and is not part of any jit cache key, so a
+    program jitted under the old value would silently keep it; to make the
+    switch sound we drop all jit caches whenever the value actually changes
+    (this is a setup-time operation — retracing afterwards is expected).
+    """
     global _CP_MESH
     if mesh is not None and CP_AXIS not in mesh.axis_names:
         raise ValueError(f"mesh has no '{CP_AXIS}' axis: {mesh.axis_names}")
+    if mesh is not _CP_MESH:
+        import jax
+        jax.clear_caches()
     _CP_MESH = mesh
 
 

@@ -51,7 +51,14 @@ def _main(args) -> int:
 
 def main() -> int:
     from aid_tpu.utils.config import compose
-    args = compose(overrides=sys.argv[1:])
+    overrides = sys.argv[1:]
+    args = compose(overrides=overrides)
+    # Flagship training on one 15.75G chip needs rematerialization to fit
+    # (18.3G live without remat); sampling keeps remat=False for a faster
+    # guidance backprop, so the network configs default it off. The train
+    # entry flips it on unless the user explicitly chose.
+    if not any(o.startswith("network.remat=") for o in overrides):
+        args.network["remat"] = True
     return _main(args)
 
 
