@@ -35,12 +35,25 @@ def _native():
         try:
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-o", here,
-                 os.path.join(native_dir, "audioio.cpp"), "-ldl"],
+                 os.path.join(native_dir, "audioio.cpp"),
+                 os.path.join(native_dir, "flac.cpp"), "-ldl"],
                 check=True, capture_output=True, timeout=120)
         except Exception:
             pass
     if os.path.exists(here):
         lib = ctypes.CDLL(here)
+        if not hasattr(lib, "aio_flac_info"):
+            # stale pre-FLAC build: rebuild in place and reload
+            import subprocess
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", here,
+                     os.path.join(native_dir, "audioio.cpp"),
+                     os.path.join(native_dir, "flac.cpp"), "-ldl"],
+                    check=True, capture_output=True, timeout=120)
+                lib = ctypes.CDLL(here)
+            except Exception:
+                pass
         lib.aio_read_info.argtypes = [ctypes.c_char_p,
                                       ctypes.POINTER(ctypes.c_long),
                                       ctypes.POINTER(ctypes.c_int),
@@ -58,13 +71,72 @@ def _native():
                                      ctypes.POINTER(ctypes.c_float), ctypes.c_long,
                                      ctypes.c_double, ctypes.c_double]
         lib.aio_resample.restype = ctypes.c_long
+        if hasattr(lib, "aio_flac_info"):
+            lib.aio_flac_info.argtypes = [ctypes.c_char_p,
+                                          ctypes.POINTER(ctypes.c_long),
+                                          ctypes.POINTER(ctypes.c_int),
+                                          ctypes.POINTER(ctypes.c_int)]
+            lib.aio_flac_info.restype = ctypes.c_int
+            lib.aio_flac_read_segment.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_float)]
+            lib.aio_flac_read_segment.restype = ctypes.c_long
         _NATIVE = lib
     return _NATIVE
+
+
+# FLAC has no cheap random access (decode is sequential from the stream
+# start), but the training loaders draw 8 segments per file (reference
+# datasets/maestro_dataset.py:84-100 semantics) — so whole decoded files are
+# cached, bounded by total samples.
+_FLAC_CACHE: "dict[str, Tuple[np.ndarray, int]]" = {}
+_FLAC_CACHE_MAX_SAMPLES = 200_000_000  # ~800 MB float32
+
+
+def _flac_full(path: str) -> Tuple[np.ndarray, int]:
+    hit = _FLAC_CACHE.pop(path, None)
+    if hit is not None:
+        _FLAC_CACHE[path] = hit  # re-insert: LRU order
+        return hit
+    lib = _native()
+    if lib is None or not hasattr(lib, "aio_flac_info"):
+        raise ValueError(
+            f"cannot decode {path!r}: FLAC needs the native audioio library "
+            f"(build aid_tpu/native)")
+    frames = ctypes.c_long(); fs = ctypes.c_int(); ch = ctypes.c_int()
+    rc = lib.aio_flac_info(path.encode(), ctypes.byref(frames),
+                           ctypes.byref(fs), ctypes.byref(ch))
+    if rc != 0:
+        raise ValueError(f"not a decodable FLAC file: {path!r} (rc={rc})")
+    out = np.zeros(frames.value, np.float32)
+    got = lib.aio_flac_read_segment(
+        path.encode(), 0, frames.value,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if got < 0 or got < frames.value:
+        raise ValueError(
+            f"FLAC decode failed for {path!r} "
+            f"(got {got} of {frames.value} samples)")
+    item = (out[:got], fs.value)
+    while (_FLAC_CACHE
+           and sum(a.size for a, _ in _FLAC_CACHE.values()) + got
+           > _FLAC_CACHE_MAX_SAMPLES):
+        _FLAC_CACHE.pop(next(iter(_FLAC_CACHE)))
+    _FLAC_CACHE[path] = item
+    return item
 
 
 def info(path: str) -> Tuple[int, int, int]:
     """(num_frames, sample_rate, channels) without decoding the whole file."""
     lib = _native()
+    if path.lower().endswith(".flac"):
+        if lib is None or not hasattr(lib, "aio_flac_info"):
+            raise ValueError(f"FLAC needs the native audioio library: {path!r}")
+        frames = ctypes.c_long(); fs = ctypes.c_int(); ch = ctypes.c_int()
+        rc = lib.aio_flac_info(path.encode(), ctypes.byref(frames),
+                               ctypes.byref(fs), ctypes.byref(ch))
+        if rc != 0:
+            raise ValueError(f"not a decodable FLAC file: {path!r} (rc={rc})")
+        return frames.value, fs.value, ch.value
     if lib is not None and path.lower().endswith(".wav"):
         frames = ctypes.c_long(); fs = ctypes.c_int(); ch = ctypes.c_int()
         if lib.aio_read_info(path.encode(), ctypes.byref(frames),
@@ -77,6 +149,11 @@ def info(path: str) -> Tuple[int, int, int]:
 def read(path: str, start: int = 0, frames: int = -1) -> Tuple[np.ndarray, int]:
     """Mono float32 [T] segment + sample rate. start/frames in samples."""
     lib = _native()
+    if path.lower().endswith(".flac"):
+        audio, fs = _flac_full(path)
+        if frames < 0:
+            return audio[start:], fs
+        return audio[start:start + frames], fs
     if lib is not None and path.lower().endswith(".wav"):
         n_total, fs, _ch = info(path)
         n = n_total - start if frames < 0 else min(frames, n_total - start)

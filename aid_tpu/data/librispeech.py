@@ -1,9 +1,9 @@
 """LibriSpeech loaders (reference datasets/librispeech.py:30-153).
 
-The upstream corpus ships FLAC; without a FLAC decoder in this image the
-loaders accept wav mirrors (and .flac once the native audioio grows a FLAC
-path). Train: infinite random segments, pad-wrap short utterances
-(reference :84-89). Test: first num_samples files (reference :101-153).
+The upstream corpus ships FLAC, decoded here by the native audioio library
+(aid_tpu/native/flac.cpp); wav mirrors work too. Train: infinite random
+segments, pad-wrap short utterances (reference :84-89). Test: first
+num_samples files (reference :101-153).
 """
 from __future__ import annotations
 
@@ -36,13 +36,29 @@ class LibrispeechTrain:
         self.overfit = bool(args.dset.get("overfit", False))
         self.files = _glob_speech(self.path)
 
+    # An undecodable file is skipped with a warning, but a corpus that yields
+    # nothing but failures must abort instead of spinning silently (round-1
+    # finding: `except: continue` in a `while True` was an infinite loop on
+    # corpora the build couldn't decode).
+    MAX_CONSECUTIVE_FAILURES = 50
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, int]]:
         rng = np.random.default_rng(self.seed)
+        failures = 0
         while True:
             f = self.files[0 if self.overfit else rng.integers(len(self.files))]
             try:
                 x, fs = audio_io.read(f)
-            except Exception:
+                failures = 0
+            except Exception as e:
+                failures += 1
+                print(f"[librispeech] skipping undecodable {f!r}: {e} "
+                      f"({failures} consecutive failures)", flush=True)
+                if failures >= self.MAX_CONSECUTIVE_FAILURES:
+                    raise RuntimeError(
+                        f"{failures} consecutive decode failures under "
+                        f"{self.path!r}; corpus unreadable (last: {f!r})"
+                    ) from e
                 continue
             if x.shape[-1] < self.seg_len:  # pad-wrap (reference :84-89)
                 reps = int(np.ceil(self.seg_len / max(x.shape[-1], 1)))
