@@ -21,6 +21,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "dp"
 
 
+def init_distributed(enable: bool = False) -> bool:
+    """Start the multi-host JAX runtime (pod slices / multi-process CPU).
+
+    TPU-native replacement for the reference's env:// NCCL rendezvous
+    (reference utils/torch_utils/distributed.py:14-31): a single
+    ``jax.distributed.initialize()`` picks up the cluster environment
+    (coordinator address, process count/id — set by the TPU pod launcher or
+    JAX_COORDINATOR_ADDRESS et al.) and extends ``jax.devices()`` to the full
+    slice; everything else in this repo shards over that global mesh
+    declaratively. Gated so single-host runs never pay a rendezvous: runs
+    when ``enable`` (wired to ``exp.mesh.distributed``) or when the
+    AID_TPU_DISTRIBUTED=1 env var is set. Safe to call repeatedly.
+    """
+    import os
+    if not enable and os.environ.get("AID_TPU_DISTRIBUTED", "") not in (
+            "1", "true", "True"):
+        return False
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:
+        if "already" in str(e).lower():  # initialized earlier in this process
+            return True
+        raise
+    print(f"[mesh] jax.distributed up: process {jax.process_index()}/"
+          f"{jax.process_count()}, {jax.device_count()} global devices",
+          flush=True)
+    return True
+
+
 def make_mesh(n_dp: int = -1, devices: Optional[Sequence] = None,
               batch: Optional[int] = None) -> Mesh:
     """1-D data-parallel mesh over all (or the first n_dp) devices.

@@ -110,6 +110,9 @@ class Sampler:
         mask multiply; projection uses the Hann-smoothed mask."""
         if self.smooth:
             smooth = jnp.asarray(degr.make_smooth_mask(np.asarray(mask), self.hann_size))
+            if isinstance(getattr(mask, "sharding", None),
+                          jax.sharding.NamedSharding):
+                smooth = jax.device_put(smooth, mask.sharding)  # follow dp
         else:
             smooth = mask
         x, rec = self._jit_inpaint(self.model.params, key, y_masked, mask, smooth)

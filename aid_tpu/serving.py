@@ -10,10 +10,18 @@ TPU-friendly way:
     compile boundaries — one static shape);
   * windows are batched up to ``max_batch`` and run through the ONE compiled
     guided-Heun program;
-  * reconstructions are written back only inside the gaps, with short linear
-    crossfades into the observed signal at the window edges;
+  * gaps longer than ~60% of a window are filled by CHAINED sub-windows:
+    each pass conditions on 25% leading context (the autoregressive
+    outpainting recipe, reference testing/edm_sampler.py:386-418) and fills
+    the rest, marching left-to-right until the gap closes;
+  * reconstructions are written back only inside the gaps; edge continuity
+    comes from the sampler's Hann-smoothed data-consistency projection;
   * inputs at foreign sample rates are resampled in (and back out) with the
-    native soxr path.
+    native soxr path;
+  * ``shard(mesh)`` turns on data-parallel serving: weights replicated over a
+    ``dp`` device mesh, window batches sharded across it — the multi-chip
+    throughput route (aggregate RTF scales with the mesh; per-window latency
+    is single-chip either way).
 """
 from __future__ import annotations
 
@@ -42,6 +50,12 @@ class InpaintingService:
     bundle: object
     sampler: object
     max_batch: int = 4
+    mesh: object = None
+
+    # fraction of a window a gap may occupy before chaining kicks in, and the
+    # leading observed-context fraction of each chained pass
+    LONG_GAP_FRACTION = 0.6
+    CHAIN_CONTEXT_FRACTION = 0.25
 
     @classmethod
     def from_config(cls, overrides: Sequence[str] = (),
@@ -64,6 +78,40 @@ class InpaintingService:
         return cls(args=args, bundle=bundle, sampler=sampler,
                    max_batch=max_batch)
 
+    # ------------------------------------------------------------ parallelism
+
+    def shard(self, mesh=None) -> "InpaintingService":
+        """Enable data-parallel serving over a ``dp`` mesh.
+
+        Replicates the network weights across the mesh and makes ``inpaint``
+        shard each window batch along the dp axis (``max_batch`` is the
+        GLOBAL batch; it is rounded up to a multiple of the mesh size). The
+        per-window computation is embarrassingly parallel, so XLA partitions
+        the jitted guided-Heun program with zero cross-chip collectives —
+        aggregate throughput scales with the mesh. Multi-host pods: call
+        ``aid_tpu.parallel.mesh.init_distributed()`` first.
+        """
+        from aid_tpu.parallel import mesh as pmesh
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        n = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        self.max_batch = int(np.ceil(self.max_batch / n) * n)
+        self.bundle.params = pmesh.replicate(self.mesh, self.bundle.params)
+        return self
+
+    def _place_batch(self, arr: np.ndarray):
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from aid_tpu.parallel import mesh as pmesh
+        return jax.device_put(arr, pmesh.batch_sharding(self.mesh))
+
+    def _run_batch(self, xb: np.ndarray, mb: np.ndarray, key) -> np.ndarray:
+        """One compiled guided-Heun call on a [max_batch, L] window batch."""
+        y = self._place_batch((xb * mb).astype(np.float32))
+        m = self._place_batch(mb.astype(np.float32))
+        rec = self.sampler.predict_inpainting(y, m, key)
+        rec = rec[0] if self.sampler.rid else rec
+        return np.asarray(jax.device_get(rec))
+
     # ------------------------------------------------------------------ core
 
     def inpaint(self, audio: np.ndarray, mask: np.ndarray, fs: int,
@@ -83,41 +131,47 @@ class InpaintingService:
         else:
             audio_m, mask_m = audio, mask
 
+        orig_len = len(audio_m)
+        if orig_len < L:  # short inputs: pad as pinned (observed) silence
+            audio_m = np.pad(audio_m, (0, L - orig_len))
+            mask_m = np.pad(mask_m, (0, L - orig_len), constant_values=1.0)
+
         T = len(audio_m)
         gaps = find_gaps(mask_m)
         if not gaps:
             return audio.copy()
         out = audio_m.copy()
 
-        # window placement: one model-length window per gap, clamped to the
-        # signal; gaps longer than ~60% of a window fall back to chained
-        # sub-windows (outpainting-style)
-        jobs = []
+        long_gap = int(self.LONG_GAP_FRACTION * L)
+        jobs = []   # single-window gaps: (window_start, gap_start, gap_end)
+        chains = []  # gaps needing chained sub-windows
         for g0, g1 in gaps:
-            if T < L:
-                raise ValueError(f"signal shorter than model length {L}")
-            c = (g0 + g1) // 2
-            w0 = int(np.clip(c - L // 2, 0, T - L))
-            jobs.append((w0, g0, g1))
+            if g1 - g0 > long_gap:
+                chains.append((g0, g1))
+            else:
+                c = (g0 + g1) // 2
+                w0 = int(np.clip(c - L // 2, 0, T - L))
+                jobs.append((w0, g0, g1))
 
         key = jax.random.PRNGKey(seed)
         for i in range(0, len(jobs), self.max_batch):
             chunk = jobs[i:i + self.max_batch]
-            n = len(chunk)
             xb = np.zeros((self.max_batch, L), np.float32)
             mb = np.ones((self.max_batch, L), np.float32)
             for r, (w0, g0, g1) in enumerate(chunk):
                 xb[r] = out[w0:w0 + L]
                 mb[r, max(g0 - w0, 0):min(g1 - w0, L)] = 0.0
             key, k = jax.random.split(key)
-            y = jnp.asarray(xb) * jnp.asarray(mb)
-            rec = self.sampler.predict_inpainting(y, jnp.asarray(mb), k)
-            rec = np.asarray(rec if not self.sampler.rid else rec[0])
+            rec = self._run_batch(xb, mb, k)
             for r, (w0, g0, g1) in enumerate(chunk):
-                # write back only inside the gap; edge continuity comes from
-                # the sampler's Hann-smoothed data-consistency projection
                 a, b = max(g0 - w0, 0), min(g1 - w0, L)
                 out[w0 + a:w0 + b] = rec[r, a:b]
+
+        for g0, g1 in chains:
+            key = self._fill_long_gap(out, g0, g1, key, T, L)
+
+        out = out[:orig_len]
+        mask_m = mask_m[:orig_len]
         if fs != model_fs:
             restored = audio_io.resample_host(out, model_fs, fs)
             restored = restored[: len(audio)]
@@ -125,7 +179,36 @@ class InpaintingService:
                 restored = np.pad(restored, (0, len(audio) - len(restored)))
             # keep originals outside gaps exactly
             return np.where(mask > 0.5, audio, restored).astype(np.float32)
-        return np.where(mask_m > 0.5, audio_m, out).astype(np.float32)
+        return np.where(mask_m > 0.5, audio[: orig_len], out).astype(np.float32)
+
+    def _fill_long_gap(self, out: np.ndarray, g0: int, g1: int, key,
+                       T: int, L: int):
+        """March a model-length window left-to-right across a gap longer than
+        one window can cover. Each pass observes ``CHAIN_CONTEXT_FRACTION`` of
+        already-known (or previously filled) samples on the left and inpaints
+        the remainder — the autoregressive outpainting pattern of reference
+        testing/edm_sampler.py:396-418, driven by the same one compiled
+        inpainting program (windows are batch row 0, padded to max_batch).
+        """
+        ctx = max(1, int(self.CHAIN_CONTEXT_FRACTION * L))
+        pos = g0  # first still-masked sample
+        while pos < g1:
+            w0 = int(np.clip(pos - ctx, 0, T - L))
+            fill_hi = min(g1, w0 + L)  # gap samples this window can reach
+            xb = np.zeros((self.max_batch, L), np.float32)
+            mb = np.ones((self.max_batch, L), np.float32)
+            xb[0] = out[w0:w0 + L]
+            # everything in [pos, fill_hi) is unknown; before pos it is known
+            # (original or filled on a previous pass); after fill_hi it is the
+            # original signal again (only reachable on the final pass)
+            mb[0, pos - w0:fill_hi - w0] = 0.0
+            key, k = jax.random.split(key)
+            rec = self._run_batch(xb, mb, k)
+            out[pos:fill_hi] = rec[0, pos - w0:fill_hi - w0]
+            if fill_hi >= g1:
+                break
+            pos = fill_hi
+        return key
 
     def inpaint_file(self, in_path: str, mask: np.ndarray, out_path: str,
                      seed: int = 0) -> str:

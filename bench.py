@@ -22,6 +22,12 @@ import numpy as np
 def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    # BENCH_DEVICES=n: data-parallel serving over an n-device dp mesh
+    # (aggregate RTF; per-window batch stays BENCH_BATCH per device). On the
+    # 1-chip harness this is validated with virtual CPU devices:
+    #   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+    #   BENCH_DEVICES=8 BENCH_OVERRIDES="exp=test_cqtdiff_22k ..." python bench.py
+    n_dev = int(os.environ.get("BENCH_DEVICES", "1"))
 
     import jax
 
@@ -43,7 +49,18 @@ def main() -> None:
 
     bundle = asetup.setup_network(args)
     ediff = asetup.setup_diff_parameters(args)
+
+    mesh = None
+    if n_dev > 1:
+        from aid_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(n_dev)
+        n_dev = int(mesh.devices.size)
+        batch = batch * n_dev  # global batch: BENCH_BATCH windows per device
+
     bundle.init(jax.random.PRNGKey(0), batch, audio_len)
+    if mesh is not None:
+        from aid_tpu.parallel import mesh as pmesh
+        bundle.params = pmesh.replicate(mesh, bundle.params)
 
     sampler = asetup.setup_sampler(args, network=bundle, diff_params=ediff)
 
@@ -52,9 +69,16 @@ def main() -> None:
     mask_np = np.ones((batch, audio_len), np.float32)
     start = (audio_len - gap) // 2
     mask_np[:, start:start + gap] = 0.0
-    mask = jnp.asarray(mask_np)
     rng = np.random.default_rng(0)
-    y = jnp.asarray(rng.standard_normal((batch, audio_len)) * 0.063, jnp.float32)
+    y_np = (rng.standard_normal((batch, audio_len)) * 0.063).astype(np.float32)
+    if mesh is not None:
+        from aid_tpu.parallel import mesh as pmesh
+        sh = pmesh.batch_sharding(mesh)
+        mask = jax.device_put(mask_np, sh)
+        y = jax.device_put(y_np, sh)
+    else:
+        mask = jnp.asarray(mask_np)
+        y = jnp.asarray(y_np)
     y_masked = y * mask
 
     key = jax.random.PRNGKey(1)
@@ -75,12 +99,15 @@ def main() -> None:
     wall = min(times)
     audio_seconds = batch * audio_len / fs
     rtf = audio_seconds / wall
-    print(json.dumps({
+    line = {
         "metric": "inpaint_rtf",
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 10.0, 3),
-    }))
+    }
+    if n_dev > 1:
+        line["devices"] = n_dev  # aggregate RTF over the dp mesh
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

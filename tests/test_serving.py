@@ -69,3 +69,88 @@ def test_inpaint_file_roundtrip(service, tmp_path):
     p_out = service.inpaint_file(p_in, mask, str(tmp_path / "out.wav"))
     y, fs2 = audio_io.read(p_out)
     assert fs2 == fs and len(y) == T
+
+
+def test_long_gap_chained_outpainting(service):
+    # gap longer than 60% of the 2048-sample model window: must be filled by
+    # chained sub-windows (round-1 finding: remainder was silently left masked)
+    fs = 22050
+    T = 4 * 2048
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(T) * 0.05).astype(np.float32)
+    mask = np.ones(T, np.float32)
+    g0, g1 = 2000, 2000 + 3000  # 3000 samples ~ 1.5 windows
+    mask[g0:g1] = 0
+    out = service.inpaint(audio, mask, fs, seed=4)
+    np.testing.assert_array_equal(out[mask > 0.5], audio[mask > 0.5])
+    # every part of the gap got energy (chained fills, not one window's worth)
+    for lo in range(g0, g1 - 500, 500):
+        assert float(np.std(out[lo:lo + 500])) > 1e-4, lo
+    assert np.all(np.isfinite(out))
+
+
+def test_short_signal_padded(service):
+    fs = 22050
+    T = 1500  # shorter than the 2048 model window
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(T) * 0.05).astype(np.float32)
+    mask = np.ones(T, np.float32)
+    mask[600:700] = 0
+    out = service.inpaint(audio, mask, fs, seed=6)
+    assert out.shape == (T,)
+    np.testing.assert_array_equal(out[mask > 0.5], audio[mask > 0.5])
+    assert float(np.std(out[600:700])) > 1e-4
+
+
+def test_sharded_service_matches_single_device(service):
+    # dp-mesh serving (8 virtual CPU devices) must agree with the unsharded
+    # path: same seed, same windows => same program modulo partitioning.
+    import jax
+    from aid_tpu.parallel import mesh as pmesh
+
+    fs = 22050
+    T = 3 * 2048
+    rng = np.random.default_rng(7)
+    audio = (rng.standard_normal(T) * 0.05).astype(np.float32)
+    mask = np.ones(T, np.float32)
+    mask[1000:1150] = 0
+    mask[4100:4220] = 0
+    ref = service.inpaint(audio, mask, fs, seed=8)
+
+    sharded = InpaintingService(
+        args=service.args, bundle=service.bundle, sampler=service.sampler,
+        max_batch=2).shard(pmesh.make_mesh(8))
+    assert sharded.max_batch == 8  # rounded up to the mesh size
+    out = sharded.inpaint(audio, mask, fs, seed=8)
+    np.testing.assert_array_equal(out[mask > 0.5], audio[mask > 0.5])
+    # same sampler program + same key; only the partitioning differs
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_shard_places_batch_on_mesh(service):
+    import jax
+    from aid_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh(8)
+    s = InpaintingService(args=service.args, bundle=service.bundle,
+                          sampler=service.sampler, max_batch=8).shard(mesh)
+    arr = s._place_batch(np.zeros((8, 128), np.float32))
+    assert len(arr.sharding.device_set) == 8
+    # every device holds exactly one row
+    assert arr.addressable_shards[0].data.shape == (1, 128)
+
+
+def test_init_distributed_gating(monkeypatch):
+    from aid_tpu.parallel import mesh as pmesh
+    calls = []
+    import jax
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    monkeypatch.delenv("AID_TPU_DISTRIBUTED", raising=False)
+    assert pmesh.init_distributed(False) is False
+    assert not calls
+    monkeypatch.setenv("AID_TPU_DISTRIBUTED", "1")
+    assert pmesh.init_distributed(False) is True
+    assert len(calls) == 1
+    monkeypatch.delenv("AID_TPU_DISTRIBUTED", raising=False)
+    assert pmesh.init_distributed(True) is True
+    assert len(calls) == 2

@@ -12,8 +12,10 @@ def _main(args) -> int:
     import jax
 
     from aid_tpu import setup as asetup
+    from aid_tpu.parallel.mesh import init_distributed
     from aid_tpu.utils.xla import enable_compile_cache
 
+    init_distributed(bool(args.exp.mesh.get("distributed", False)))
     enable_compile_cache()
 
     if bool(args.get("dry_run", False)):
