@@ -156,20 +156,28 @@ class Tester:
             logu.write_audio_file(x, self.fs, name,
                                   os.path.join(self.base_dir, mode, sub))
 
-    def _maybe_dump_rid(self, mode: str, name: str, rec) -> None:
-        """Intermediate dumps + trajectory filmstrip (reference rid .npy dumps,
-        edm_sampler_inpainting.py:184-190 / tester_inpainting.py:535-547, and
-        the diffusion animations of utils/logging.py:386-609)."""
+    def _maybe_dump_rid(self, mode: str, name: str, rec,
+                        index: int = 0) -> None:
+        """Intermediate dumps + trajectory filmstrip/animation (reference rid
+        .npy dumps, edm_sampler_inpainting.py:184-190 /
+        tester_inpainting.py:535-547, and the diffusion animations of
+        utils/logging.py:386-609). ``index`` selects this file's row out of
+        the batched Record — each file gets only its own trajectory (round-1
+        finding: the whole batch was duplicated under every file's name)."""
         if not self.rid or rec is None:
             return
         d = os.path.join(self.base_dir, mode, "rid")
         os.makedirs(d, exist_ok=True)
         for field in rec._fields:
-            np.save(os.path.join(d, f"{name}_{field}.npy"),
-                    np.asarray(getattr(rec, field)))
+            arr = np.asarray(getattr(rec, field))
+            if arr.ndim >= 2:  # [steps, B, ...] stacks -> this item's lane
+                arr = arr[:, index]
+            np.save(os.path.join(d, f"{name}_{field}.npy"), arr)
+        traj = np.asarray(rec.denoised)[:, index]
         logu.plot_diffusion_trajectory(
-            np.asarray(rec.denoised), self.fs,
-            os.path.join(d, f"{name}_trajectory.png"))
+            traj, self.fs, os.path.join(d, f"{name}_trajectory.png"))
+        logu.animate_diffusion_trajectory(
+            traj, self.fs, os.path.join(d, f"{name}_trajectory.gif"))
 
     def _iter_test_batches(self):
         """Yield (audio [B,T] at model rate, names) batches from the test set."""
@@ -246,7 +254,7 @@ class Tester:
             for i, name in enumerate(names):
                 self._save_triplet(mode, name, audio[i],
                                    np.asarray(y_masked)[i], x[i])
-                self._maybe_dump_rid(mode, name, rec)
+                self._maybe_dump_rid(mode, name, rec, index=i)
                 written.append(name)
         return written
 
@@ -292,7 +300,8 @@ class Tester:
             for i, name in enumerate(names):
                 self._save_triplet("spectrogram_inpainting", name, audio[i],
                                    np.asarray(y_masked)[i], x[i])
-                self._maybe_dump_rid("spectrogram_inpainting", name, rec)
+                self._maybe_dump_rid("spectrogram_inpainting", name, rec,
+                                     index=i)
                 written.append(name)
         return written
 
@@ -324,7 +333,7 @@ class Tester:
             y_lp = np.asarray(degr.firwin_lowpass(order, fc, self.fs)(y))
             for i, name in enumerate(names):
                 self._save_triplet("bwe", name, audio[i], y_lp[i], x[i])
-                self._maybe_dump_rid("bwe", name, rec)
+                self._maybe_dump_rid("bwe", name, rec, index=i)
                 written.append(name)
         return written
 

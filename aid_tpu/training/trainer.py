@@ -137,12 +137,38 @@ def make_train_step(
             "grad_norm": gnorm,
             "sigma_bins": tstats.sigma_binned_moments(per_sample, sigma, edges),
             "loss_moments": tstats.moments(per_sample),
+            # per-module gradient norms: the TPU-native stand-in for the
+            # reference's wandb.watch gradient histograms (trainer.py:111-121)
+            # — scalars computed in-graph, no host materialization of grads
+            "grad_norms_by_module": {
+                k: optax.global_norm(v)
+                for k, v in grads.get("params", grads).items()},
         }
         new_state = TrainState(params=params, ema=ema, opt_state=opt_state,
                                it=state.it + 1)
         return new_state, metrics
 
     return step
+
+
+def _restore_like(template, restored):
+    """Rebuild a ``template``-structured pytree from an orbax-restored generic
+    container tree. PyTreeCheckpointer returns plain dicts/lists — optax
+    NamedTuple states (ScaleByAdamState etc.) come back as dicts keyed by
+    field name and would crash the next tx.update; this walks the template
+    and re-wraps every node in its original type."""
+    if isinstance(template, tuple) and hasattr(template, "_fields"):
+        vals = [_restore_like(
+                    getattr(template, f),
+                    restored[f] if isinstance(restored, dict) else restored[i])
+                for i, f in enumerate(template._fields)]
+        return type(template)(*vals)
+    if isinstance(template, (list, tuple)):
+        return type(template)(_restore_like(t, restored[i])
+                              for i, t in enumerate(template))
+    if isinstance(template, dict):
+        return {k: _restore_like(v, restored[k]) for k, v in template.items()}
+    return jnp.asarray(restored, getattr(template, "dtype", None))
 
 
 def _shape_matched_copy(target, source):
@@ -310,6 +336,13 @@ class Trainer:
                 ema = _shape_matched_copy(self.bundle.params, ema)
                 opt_state = None  # optimizer restarts on partial loads
 
+        if opt_state is not None:
+            try:
+                opt_state = _restore_like(self.tx.init(params), opt_state)
+            except Exception as e:
+                print(f"[resume] optimizer state incompatible ({e}); "
+                      f"reinitialized")
+                opt_state = None
         state = TrainState(
             params=params, ema=ema,
             opt_state=opt_state if opt_state is not None else self.tx.init(params),
@@ -322,11 +355,17 @@ class Trainer:
     # ---------------------------------------------------------------- logging
 
     def easy_logging(self, metrics) -> Dict[str, float]:
-        """Scalar + per-sigma-bin logging tier (reference trainer.py:306-335)."""
+        """Scalar + per-sigma-bin logging tier (reference trainer.py:306-335).
+        Collector stats are PER-INTERVAL: read, plotted, then flushed — the
+        reference Collector's between-update() semantics
+        (training_stats.py:112-229); all-time accumulation would freeze the
+        curves on long runs."""
         out = {
             "loss": float(np.asarray(metrics["loss"])),
             "grad_norm": float(np.asarray(metrics["grad_norm"])),
         }
+        for k, v in metrics.get("grad_norms_by_module", {}).items():
+            out[f"grads/{k}"] = float(np.asarray(v))
         self.collector.update("loss", np.asarray(metrics["loss_moments"]))
         self.collector.update_binned("loss_by_sigma",
                                      np.asarray(metrics["sigma_bins"]))
@@ -340,17 +379,36 @@ class Trainer:
             self.bin_edges, self.collector.mean("loss_by_sigma"),
             self.collector.std("loss_by_sigma"),
             os.path.join(self.model_dir, "loss_by_sigma.png"))
+        self.collector.flush()
         return out
 
     def heavy_logging(self) -> None:
-        """Demo-generation tier (reference trainer.py:338-348): run the tester's
-        unconditional sampling with current EMA weights if a tester is wired."""
+        """Demo-generation tier (reference trainer.py:338-356): sample with the
+        current EMA weights and WRITE the artifacts — wav + spectrogram under
+        model_dir/heavy_logging/it_N (and wandb audio when enabled)."""
         if self.tester is None:
             return
         try:
-            self.tester.sample_unconditional_ema(self.state.ema)
+            x = np.asarray(self.tester.sample_unconditional_ema(self.state.ema))
+            it = int(jax.device_get(self.state.it))
+            d = os.path.join(self.model_dir, "heavy_logging", f"it_{it}")
+            from aid_tpu.utils import logging_utils as logu
+            fs = int(self.exp.sample_rate)
+            wandb_audio = {}
+            for i, xi in enumerate(x):
+                fp = logu.write_audio_file(xi, fs, f"uncond_{i}", d)
+                logu.plot_spectrogram_from_raw_audio(xi, fs, fp + ".png")
+                wandb_audio[f"demo/uncond_{i}"] = (xi, fs)
+            self._log_wandb_audio(wandb_audio, it)
         except Exception as e:  # demos must never kill training
             print(f"[heavy_logging] skipped: {e}")
+
+    def _log_wandb_audio(self, named_clips, it: int) -> None:
+        if self.wandb._run is None or not named_clips:
+            return
+        import wandb as _wandb
+        self.wandb.log({k: _wandb.Audio(np.asarray(v[0]), sample_rate=v[1])
+                        for k, (v) in named_clips.items()}, step=it)
 
     # ----------------------------------------------------------------- loop
 

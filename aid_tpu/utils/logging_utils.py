@@ -115,6 +115,50 @@ def plot_diffusion_trajectory(xt_steps, fs: int, out_path: str,
     return out_path
 
 
+def animate_diffusion_trajectory(xt_steps, fs: int, out_path: str,
+                                 max_frames: int = 24, n_fft: int = 1024,
+                                 hop: int = 256, ms_per_frame: int = 120
+                                 ) -> Optional[str]:
+    """Animated GIF of a sampler trajectory's spectrograms — the moving
+    counterpart of ``plot_diffusion_trajectory`` (the reference renders
+    diffusion-process animations, utils/logging.py:386-609, via plotly;
+    here each rid ``denoised``/``xt`` stack becomes one GIF via PIL)."""
+    try:
+        from PIL import Image
+    except Exception:
+        return None
+    xt = np.asarray(xt_steps)
+    if xt.ndim == 3:
+        xt = xt[:, 0]
+    steps = np.unique(np.linspace(0, xt.shape[0] - 1,
+                                  min(max_frames, xt.shape[0])).astype(int))
+    frames = []
+    vmax = None
+    for s in steps:
+        S = _stft_mag_db(xt[s], n_fft, hop)
+        if vmax is None:
+            vmax = float(_stft_mag_db(xt[steps[-1]], n_fft, hop).max())
+        # normalize into [0,1] over a fixed 80 dB window anchored at the
+        # final step's peak so brightness is comparable across frames
+        img = np.clip((S.T[::-1] - (vmax - 80.0)) / 80.0, 0.0, 1.0)
+        rgb = (_magma(img) * 255).astype(np.uint8)
+        frames.append(Image.fromarray(rgb))
+    if not frames:
+        return None
+    frames[0].save(out_path, save_all=True, append_images=frames[1:],
+                   duration=ms_per_frame, loop=0)
+    return out_path
+
+
+def _magma(v: np.ndarray) -> np.ndarray:
+    """v in [0,1] -> RGB via matplotlib's magma (fallback: grayscale)."""
+    try:
+        import matplotlib.cm as cm
+        return cm.get_cmap("magma")(v)[..., :3]
+    except Exception:
+        return np.stack([v, v, v], axis=-1)
+
+
 class WandbLogger:
     """Strictly-optional wandb sink (reference trainer.py:83-121). No-ops when
     wandb is not installed or disabled in config."""

@@ -121,3 +121,36 @@ def test_metrics_module(tmp_path):
     scores = am.score_directory(str(d))
     assert "a.wav" in scores and "__mean__" in scores
     assert (d / "metrics.json").exists()
+
+
+def test_rid_dumps_are_per_item(tmp_path_factory):
+    # round-1 finding: at batch>1 every file got the full batched Record;
+    # now each file's npy holds only its own lane, plus a GIF animation
+    tmp = str(tmp_path_factory.mktemp("rid"))
+    args = compose(overrides=[
+        "exp=test_cqtdiff_22k",
+        "exp.audio_len=2048",
+        "network.cqt.num_octs=3",
+        "network.cqt.bins_per_oct=8",
+        "network.Ns=[8,16,16]",
+        "network.num_dils=[1,1,1]",
+        "network.attention_layers=[0,0,0,0]",
+        "tester.T=3",
+        "tester.rid=True",
+        "tester.batch_size=2",
+        "tester.inpainting.long.gap_length=20",
+        "tester.modes=['inpainting']",
+        f"model_dir={tmp}",
+    ])
+    bundle = asetup.setup_network(args)
+    bundle.init(jax.random.PRNGKey(0), 1, 2048)
+    ediff = asetup.setup_diff_parameters(args)
+    tester = asetup.setup_tester(args, network=bundle, diff_params=ediff,
+                                 test_set=_SynthTestSet(2, 2048, 22050))
+    tester.dodajob()
+    d = os.path.join(tester.base_dir, "inpainting", "rid")
+    xt0 = np.load(os.path.join(d, "clip_0_xt.npy"))
+    xt1 = np.load(os.path.join(d, "clip_1_xt.npy"))
+    assert xt0.ndim == 2 and xt0.shape[-1] == 2048  # [steps, L]: one lane
+    assert not np.array_equal(xt0, xt1)  # different lanes, not duplicates
+    assert os.path.exists(os.path.join(d, "clip_0_trajectory.gif"))
