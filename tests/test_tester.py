@@ -154,3 +154,39 @@ def test_rid_dumps_are_per_item(tmp_path_factory):
     assert xt0.ndim == 2 and xt0.shape[-1] == 2048  # [steps, L]: one lane
     assert not np.array_equal(xt0, xt1)  # different lanes, not duplicates
     assert os.path.exists(os.path.join(d, "clip_0_trajectory.gif"))
+
+
+def test_fad_harness(tmp_path):
+    """FAD: zero for identical sets, monotone under growing distortion, and
+    pluggable embedders (the offline path to 'LSD & FAD parity')."""
+    from aid_tpu.data import audio_io
+    from aid_tpu.testing import metrics
+
+    rng = np.random.default_rng(0)
+    fs = 16000
+    da, db, dc = (tmp_path / n for n in ("a", "b", "c"))
+    for d in (da, db, dc):
+        d.mkdir()
+    for i in range(4):
+        t = np.arange(16000) / fs
+        x = (np.sin(2 * np.pi * (220 + 40 * i) * t)
+             * 0.3).astype(np.float32)
+        audio_io.write(str(da / f"{i}.wav"), x, fs)
+        audio_io.write(str(db / f"{i}.wav"), x, fs)  # identical set
+        noisy = x + rng.standard_normal(len(x)).astype(np.float32) * 0.2
+        audio_io.write(str(dc / f"{i}.wav"), noisy, fs)
+
+    same = metrics.fad(str(da), str(db))
+    diff = metrics.fad(str(da), str(dc))
+    assert same < 1e-3, same
+    assert diff > same + 0.1, (same, diff)
+
+    # toy custom embedder: per-clip [1, 2] stats vector
+    toy = lambda x, fs: np.asarray([[float(np.std(x)), float(np.mean(x**2))]])
+    assert metrics.fad(str(da), str(db), embedder=toy) < 1e-8
+    assert metrics.fad(str(da), str(dc), embedder=toy) > 0
+
+    # closed form sanity: two 1-D gaussians
+    d = metrics.frechet_distance(np.array([0.0]), np.array([[1.0]]),
+                                 np.array([3.0]), np.array([[4.0]]))
+    assert d == pytest.approx(9.0 + 1.0 + 4.0 - 2 * 2.0)
