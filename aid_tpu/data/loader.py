@@ -64,3 +64,80 @@ class Prefetcher:
 def make_train_loader(sample_iter: Iterator, batch_size: int,
                       prefetch_depth: int = 4):
     return Prefetcher(batched(sample_iter, batch_size), depth=prefetch_depth)
+
+
+# --------------------------------------------------------------------------
+# Multi-process decode (the reference's DataLoader num_workers=4 + spawn,
+# utils/setup.py:10-27 / train.py:48): worker subprocesses each construct the
+# dataset from the pickled config and push finished batches through an mp
+# queue. Workers never import jax — audio decode is numpy + the native
+# ctypes library — so they stay clear of the TPU runtime.
+
+
+def _worker_main(args, callable_name, worker_id, batch_size, q):
+    import os
+    import traceback
+    os.environ["JAX_PLATFORMS"] = "cpu"  # defensive: workers must not attach
+    try:
+        from aid_tpu.utils.containers import EasyDict
+        from aid_tpu.utils.registry import call_func_by_name
+        args = EasyDict(args)
+        # decorrelate workers: each draws from a different stream
+        args["exp"]["seed"] = int(args["exp"].get("seed", 42)) + 7919 * (worker_id + 1)
+        ds = call_func_by_name(args, func_name=callable_name)
+        for item in batched(iter(ds), batch_size):
+            q.put(("ok", item))
+    except BaseException:
+        q.put(("err", traceback.format_exc()))
+
+
+class MultiProcessLoader:
+    """N spawned decode workers feeding one bounded batch queue.
+
+    Batches arrive in completion order (like torch DataLoader without
+    in-order guarantees); each worker owns an independently-seeded stream of
+    the same dataset, so the union is the same distribution at N times the
+    decode throughput."""
+
+    def __init__(self, args, callable_name: str, batch_size: int,
+                 num_workers: int, prefetch_depth: int = 4):
+        import copy
+        import multiprocessing as mp
+        # forkserver: children start from a clean template process — no
+        # re-import of the caller's __main__ (spawn would re-run scripts
+        # without a __main__ guard) and no fork()ing of a parent that already
+        # holds jax/TPU runtime threads
+        ctx = mp.get_context("forkserver")
+        self._q = ctx.Queue(maxsize=max(prefetch_depth, num_workers))
+        self._procs = []
+        for w in range(num_workers):
+            p = ctx.Process(
+                target=_worker_main,
+                args=(copy.deepcopy(dict(args)), callable_name, w,
+                      batch_size, self._q),
+                daemon=True)
+            p.start()
+            self._procs.append(p)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        status, payload = self._q.get()
+        if status == "err":
+            self.close()
+            raise RuntimeError(f"data worker failed:\n{payload}")
+        return payload
+
+    def close(self):
+        for p in self._procs:
+            if p.is_alive():
+                p.terminate()
+        for p in self._procs:
+            p.join(timeout=5)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

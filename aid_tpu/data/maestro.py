@@ -24,11 +24,19 @@ from aid_tpu.data import audio_io
 
 
 def _process_seed(base: int) -> int:
-    try:
-        import jax
-        return int(base) + 1000003 * jax.process_index()
-    except Exception:
-        return int(base)
+    """Per-host seed sharding (the InfiniteSampler role, reference
+    misc.py:110-141). Consults jax.process_index() ONLY when jax is already
+    imported in this process: decode worker subprocesses must never trigger a
+    backend attach (the single-tenant TPU tunnel blocks a second client —
+    importing jax here deadlocked the multi-process loader)."""
+    import sys
+    jax = sys.modules.get("jax")
+    if jax is not None:
+        try:
+            return int(base) + 1000003 * jax.process_index()
+        except Exception:
+            pass
+    return int(base)
 
 
 def _load_metadata(root: str) -> List[dict]:
@@ -74,14 +82,31 @@ class MaestroDatasetFs:
             x, fs = audio_io.read(f, 0, min(self.load_len, n))
             while True:
                 yield x, fs
+        # Same hardening as LibrispeechTrain: skips are counted so a corpus
+        # where every file is undecodable or shorter than load_len aborts
+        # loudly instead of spinning in `continue` forever.
+        failures = 0
         while True:
             f = self.files[rng.integers(len(self.files))]
             try:
                 n, fs, _ = audio_io.info(f)
-            except Exception:
+            except Exception as e:
+                failures += 1
+                if failures >= 50:
+                    raise RuntimeError(
+                        f"{failures} consecutive unusable files under "
+                        f"{self.path!r} (last: {f!r}: {e})") from e
                 continue
             if n < self.load_len:
+                failures += 1
+                if failures >= 50:
+                    raise RuntimeError(
+                        f"{failures} consecutive unusable files under "
+                        f"{self.path!r}: files shorter than load_len="
+                        f"{self.load_len} (last: {f!r} with {n} samples); "
+                        f"lower dset.load_len")
                 continue
+            failures = 0
             for _ in range(self.segments_per_file):
                 start = int(rng.integers(0, n - self.load_len + 1))
                 x, _ = audio_io.read(f, start, self.load_len)

@@ -15,7 +15,13 @@ def setup_dataset(args) -> Any:
     """Infinite training-batch iterator (reference setup.py:10-27 wraps an
     IterableDataset in a torch DataLoader; here loaders are plain Python
     iterators yielding (audio [B,T] numpy, fs [B]))."""
-    from aid_tpu.data.loader import make_train_loader
+    from aid_tpu.data.loader import MultiProcessLoader, make_train_loader
+    nw = int(args.exp.get("num_workers", 0))
+    if nw > 0:
+        # reference DataLoader num_workers parity (utils/setup.py:10-27):
+        # spawned decode subprocesses, batches in completion order
+        return MultiProcessLoader(args, str(args.dset.callable),
+                                  int(args.exp.batch), nw)
     ds = call_func_by_name(args, func_name=args.dset.callable)
     return make_train_loader(iter(ds), int(args.exp.batch))
 

@@ -87,19 +87,24 @@ def make_train_step(
 
     audio_len = int(exp.audio_len)
 
-    def micro_grads(params, key, audio, fs):
+    def micro_grads(params, key, audio, fs, rates):
         k_aug, k_loss = jax.random.split(key)
         if audio.shape[-1] != audio_len:
             # native-rate segments: resample on device then crop to the model
-            # length (reference trainer.py:236-252 get_batch semantics)
-            audio = tutils.resample_batch(audio, fs, target_fs)[..., :audio_len]
+            # length (reference trainer.py:236-252 get_batch semantics).
+            # rates is the STATIC set of rates present in this host batch, so
+            # a homogeneous batch costs one polyphase conv, not four.
+            audio = tutils.resample_batch(audio, fs, target_fs,
+                                          rates)[..., :audio_len]
         audio = tutils.augment(k_aug, audio, aug_cfg)
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
             params, k_loss, audio)
         return loss, aux, grads
 
     def step(state: TrainState, batch: jnp.ndarray, fs: jnp.ndarray,
-             key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+             key: jax.Array,
+             rates: tuple = (44100, 48000, 22050, 16000),
+             ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         # batch: [n_accum, B, T] when accumulating, else [B, T]
         if n_accum > 1:
             keys = jax.random.split(key, n_accum)
@@ -108,7 +113,7 @@ def make_train_step(
             loss_total = 0.0
             for i in range(n_accum):  # static unroll: n_accum is small (1-8)
                 loss, (ps, sg), grads = micro_grads(state.params, keys[i],
-                                                    batch[i], fs[i])
+                                                    batch[i], fs[i], rates)
                 g_total = jax.tree_util.tree_map(jnp.add, g_total, grads)
                 loss_total = loss_total + loss
                 pss.append(ps); sgs.append(sg)
@@ -118,7 +123,7 @@ def make_train_step(
             sigma = jnp.concatenate(sgs)
         else:
             loss, (per_sample, sigma), grads = micro_grads(state.params, key,
-                                                           batch, fs)
+                                                           batch, fs, rates)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -253,7 +258,8 @@ class Trainer:
         self._step = make_train_step(self.bundle.module.apply, self.p, self.tx,
                                      self.exp, self.bin_edges, err_filter,
                                      self.n_accum)
-        self._jit_step = jax.jit(self._step, donate_argnums=(0,))
+        self._jit_step = jax.jit(self._step, donate_argnums=(0,),
+                                 static_argnums=(4,))
         self.state: Optional[TrainState] = None
         self.key = jax.random.PRNGKey(int(self.exp.get("seed", 42)))
 
@@ -433,7 +439,9 @@ class Trainer:
         else:
             batch = pmesh.shard_batch(self.mesh, audio)
             fs_arr = jnp.asarray(fs)
-        self.state, metrics = self._jit_step(self.state, batch, fs_arr, k)
+        rates = tuple(sorted({int(v) for v in np.asarray(fs).reshape(-1)}))
+        self.state, metrics = self._jit_step(self.state, batch, fs_arr, k,
+                                             rates)
         return metrics
 
     def training_loop(self):

@@ -59,7 +59,8 @@ def resample(x: jnp.ndarray, orig_fs: int, new_fs: int) -> jnp.ndarray:
     return y[:, :out_len, 0].reshape(lead + (out_len,))
 
 
-def resample_batch(batch: jnp.ndarray, fs_batch, target_fs: int) -> jnp.ndarray:
+def resample_batch(batch: jnp.ndarray, fs_batch, target_fs: int,
+                   rates: tuple = (44100, 48000, 22050, 16000)) -> jnp.ndarray:
     """Resample a batch whose items share one of a few known rates.
 
     The reference loops per-item with torchaudio (training_utils.py:156-212);
@@ -67,9 +68,22 @@ def resample_batch(batch: jnp.ndarray, fs_batch, target_fs: int) -> jnp.ndarray:
     jnp.where-select so the whole thing stays jittable when fs is a traced
     array. Output length = batch_len * target/max(rates) truncated like the
     reference's segment cropping (trainer.py:244-252).
+
+    ``rates`` is the static candidate set. Callers that know the rates
+    actually present on the host (the trainer specializes per batch) pass the
+    reduced set: a single-rate batch then costs ONE polyphase conv instead of
+    four convs plus selects.
     """
     fs_batch = jnp.asarray(fs_batch).reshape(-1)
-    rates = (44100, 48000, 22050, 16000)
+    rates = tuple(rates)
+    if len(rates) == 1:
+        r = int(rates[0])
+        if r == int(target_fs):
+            return batch
+        T_out = batch.shape[-1]
+        y = resample(batch, r, target_fs)
+        return (y[..., :T_out] if y.shape[-1] >= T_out else jnp.pad(
+            y, [(0, 0)] * (y.ndim - 1) + [(0, T_out - y.shape[-1])]))
     T_out = batch.shape[-1]
     candidates = []
     for r in rates:

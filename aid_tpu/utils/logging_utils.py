@@ -153,8 +153,8 @@ def animate_diffusion_trajectory(xt_steps, fs: int, out_path: str,
 def _magma(v: np.ndarray) -> np.ndarray:
     """v in [0,1] -> RGB via matplotlib's magma (fallback: grayscale)."""
     try:
-        import matplotlib.cm as cm
-        return cm.get_cmap("magma")(v)[..., :3]
+        import matplotlib
+        return matplotlib.colormaps["magma"](v)[..., :3]
     except Exception:
         return np.stack([v, v, v], axis=-1)
 

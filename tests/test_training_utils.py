@@ -99,3 +99,19 @@ def test_ema_warmup_class():
     w2 = tutils.EMAWarmup()
     w2.load_state_dict(sd)
     assert w2.get_value() == w.get_value()
+
+
+def test_resample_batch_rate_specialization():
+    """Static single-rate path must equal the full 4-branch select path."""
+    import jax.numpy as jnp
+    from aid_tpu.training.utils import resample_batch
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4410)), jnp.float32)
+    fs = jnp.full((2,), 44100)
+    full = np.asarray(resample_batch(x, fs, 22050))
+    fast = np.asarray(resample_batch(x, fs, 22050, rates=(44100,)))
+    np.testing.assert_allclose(fast, full, atol=1e-6)
+    # identity when the batch is already at the target rate
+    same = np.asarray(resample_batch(x, jnp.full((2,), 22050), 22050,
+                                     rates=(22050,)))
+    np.testing.assert_array_equal(same, np.asarray(x))
