@@ -93,25 +93,59 @@ def _foldf_weights(w: jnp.ndarray) -> jnp.ndarray:
 
 
 class Conv2dFT(nn.Module):
-    """Bias-free conv over (F, T) with freq dilation; input [B, F, T, C]."""
+    """Bias-free conv over (F, T) with freq dilation; input [B, F, T, C].
+
+    ``spatial_tf``: the input is ALREADY transposed to [B, T, F, C] (the
+    caller holds a whole dilated stack in that layout so the dilated spatial
+    dim rides the sublanes once instead of being re-laid-out around every
+    conv). The PARAM layout stays (kh, kw, C, N) — checkpoint-identical; the
+    kernel is transposed at trace time."""
     features: int
     kernel: Tuple[int, int] = (1, 1)
     dilation: Tuple[int, int] = (1, 1)
     scale: float = math.sqrt(1.0 / 3.0)
     use_bias: bool = False
     foldf: bool = False   # freq-pair lane packing for narrow-channel convs
+    spatial_tf: bool = False  # input/output are [B, T, F, C]
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        import os
+        mode = os.environ.get("AID_TPU_CONV_MODE", "auto")  # perf experiments
         kh, kw = self.kernel
         w = self.param("kernel", scaled_uniform(self.scale),
                        (kh, kw, x.shape[-1], self.features))
         x = x.astype(self.dtype)
         w = w.astype(self.dtype)
         d = self.dilation[0]
+        if self.spatial_tf:
+            # [B, T, F, C] layout: freq is the W spatial dim
+            wt = w.transpose(1, 0, 2, 3)
+            if d >= 8 and x.shape[2] % d == 0:
+                # residue-class regroup in TF layout (classes -> batch)
+                B_, T_, F_, C_ = x.shape
+                z = x.reshape(B_, T_, F_ // d, d, C_).transpose(0, 3, 1, 2, 4)
+                z = z.reshape(B_ * d, T_, F_ // d, C_)
+                y = jax.lax.conv_general_dilated(
+                    z, wt, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y = y.reshape(B_, d, T_, F_ // d, self.features)
+                y = y.transpose(0, 2, 3, 1, 4).reshape(B_, T_, F_,
+                                                       self.features)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x, wt, (1, 1), "SAME",
+                    rhs_dilation=(self.dilation[1], d),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros_init(),
+                               (self.features,))
+                y = y + b.astype(self.dtype)
+            return y
         B, F, T, C = x.shape
-        if (self.foldf and (kh, kw) == (5, 3) and self.dilation[1] == 1
+        if (mode != "direct"
+                and self.foldf and (kh, kw) == (5, 3) and self.dilation[1] == 1
                 and C <= 64 and F % d == 0 and (F // d) % 2 == 0):
             # regroup residue classes (dilated -> plain per class), then fold
             # freq pairs into lanes so C=64 convs use all 128 MXU lanes
@@ -132,7 +166,8 @@ class Conv2dFT(nn.Module):
             if d > 1:
                 y = y.reshape(B, d, F // d, T, N)
                 y = y.transpose(0, 2, 1, 3, 4).reshape(B, F, T, N)
-        elif d >= 8 and self.dilation[1] == 1 and F % d == 0:
+        elif (mode != "direct"
+              and d >= 8 and self.dilation[1] == 1 and F % d == 0):
             # measured on v5e: direct rhs_dilation convs are fine for small d
             # (0.3-0.5 ms at flagship shapes) and regrouping only wins at
             # large d where the dilated footprint gets cache-hostile
@@ -346,6 +381,99 @@ class ConvParam(nn.Module):
                           (kh, kw, self.in_features, self.features))
 
 
+def _pack_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """[B,F,T,C] -> [B,F/2,T,2C]: adjacent freq rows folded into lanes."""
+    B, F, T, C = x.shape
+    z = x.reshape(B, F // 2, 2, T, C).transpose(0, 1, 3, 2, 4)
+    return z.reshape(B, F // 2, T, 2 * C)
+
+
+def _unpack_pairs(z: jnp.ndarray) -> jnp.ndarray:
+    B, F2, T, C2 = z.shape
+    C = C2 // 2
+    y = z.reshape(B, F2, T, 2, C).transpose(0, 1, 3, 2, 4)
+    return y.reshape(B, 2 * F2, T, C)
+
+
+def _packed_even_d_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(5,3,C,N) -> dense block-diagonal (5,3,2C,2N): for EVEN dilation d the
+    taps preserve freq parity, so the dilation-d conv on [B,F,T,C] equals
+    this kernel with rhs_dilation (d/2,1) on the pair-packed tensor. 2x MACs
+    (half the kernel is zeros) buys full 128-lane occupancy at C=64 and, more
+    importantly, zero per-layer pack/unpack transposes."""
+    kh, kw, C, N = w.shape
+    wd = jnp.zeros((kh, kw, 2 * C, 2 * N), w.dtype)
+    wd = wd.at[:, :, :C, :N].set(w)
+    wd = wd.at[:, :, C:, N:].set(w)
+    return wd
+
+
+def _norm_adaln_scale_packed(z, gain, aff, eps: float = 1e-7,
+                             groups: int = 8):
+    """_norm_adaln_scale on a pair-packed tensor [B,F/2,T,2C]: the group-std
+    reduces over exactly the same element sets as the unpacked layout (both
+    parity slots of each channel group), and the combined multiplier is the
+    unpacked one tiled across the two slots."""
+    B, F2, T, C2 = z.shape
+    C = C2 // 2
+    g = min(groups, C)
+    zf = z.reshape(B, F2, T, 2, g, C // g)
+    n = F2 * T * 2 * (C // g)
+    m1 = jnp.mean(zf, axis=(1, 2, 3, 5), dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(zf), axis=(1, 2, 3, 5), dtype=jnp.float32)
+    var = jnp.maximum(m2 - m1 * m1, 0.0) * (n / (n - 1.0))
+    std = jnp.sqrt(var)                                          # [B, G]
+    mult = (gain.astype(jnp.float32).reshape(1, g, C // g)
+            / (std[:, :, None] + eps)).reshape(B, C)
+    mult = mult * (1.0 + aff.astype(jnp.float32))
+    mult2 = jnp.concatenate([mult, mult], axis=-1)               # both slots
+    return z * mult2[:, None, None, :].astype(z.dtype)
+
+
+def _regroup_transition(x: jnp.ndarray, from_d: int, to_d: int,
+                        B: int) -> jnp.ndarray:
+    """Move between residue-class-regrouped layouts with ONE copy.
+
+    Layout-d is [B*d, F/d, T, C] with batch ordered (B, class), class =
+    f mod d (matching a fresh regroup: reshape (B, F/d, d, ...) then class ->
+    batch). Chaining d -> 2d (or any multiple) replaces the per-layer
+    regroup+ungroup pair — two full-tensor copies — with one."""
+    if from_d == to_d:
+        return x
+    Bd, Fd, T, C = x.shape
+    if from_d == 1:
+        z = x.reshape(B, Fd // to_d, to_d, T, C).transpose(0, 2, 1, 3, 4)
+        return z.reshape(B * to_d, Fd // to_d, T, C)
+    if to_d == 1:
+        z = x.reshape(B, from_d, Fd, T, C).transpose(0, 2, 1, 3, 4)
+        return z.reshape(B, Fd * from_d, T, C)
+    assert to_d % from_d == 0, (from_d, to_d)
+    r = to_d // from_d
+    # f = from_d*m + c1, m = r*m2 + j  =>  class2 = from_d*j + c1
+    z = x.reshape(B, from_d, Fd // r, r, T, C).transpose(0, 3, 1, 2, 4, 5)
+    return z.reshape(B * to_d, Fd // r, T, C)
+
+
+def _norm_adaln_scale_regrouped(h, gain, aff, B: int, d: int,
+                                eps: float = 1e-7, groups: int = 8):
+    """_norm_adaln_scale on a residue-regrouped tensor [B*d, F/d, T, C]:
+    the group std reduces across all d class-batches of each ORIGINAL batch
+    item (same element sets as the ungrouped layout)."""
+    Bd, Fd, T, C = h.shape
+    g = min(groups, C)
+    hf = h.reshape(B, d, Fd, T, g, C // g)
+    n = d * Fd * T * (C // g)
+    m1 = jnp.mean(hf, axis=(1, 2, 3, 5), dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(hf), axis=(1, 2, 3, 5), dtype=jnp.float32)
+    var = jnp.maximum(m2 - m1 * m1, 0.0) * (n / (n - 1.0))
+    std = jnp.sqrt(var)                                           # [B, G]
+    mult = (gain.astype(jnp.float32).reshape(1, g, C // g)
+            / (std[:, :, None] + eps)).reshape(B, C)
+    mult = mult * (1.0 + aff.astype(jnp.float32))
+    mult = jnp.repeat(mult, d, axis=0)                            # [B*d, C]
+    return h * mult[:, None, None, :].astype(h.dtype)
+
+
 def _group_std_f32(x: jnp.ndarray, groups: int = 8) -> jnp.ndarray:
     """Bessel-corrected std over (F, T, C/G) per (batch, group), reduced in
     f32 regardless of x.dtype (the BiasFreeGroupNorm reduction, torch .std
@@ -390,6 +518,8 @@ class AdaLNResBlock(nn.Module):
     use_pallas: bool = False     # fused norm+adaLN+gelu kernel (ops.pallas)
     use_megakernel: bool = False  # fully fused adaLN+conv layer (ops.pallas)
     conv_foldf: bool = False     # freq-pair lane packing for C<=64 convs
+    pack_stack: bool = False     # persistent pair-packed dilated stack (C<=64)
+    chain_regroup: bool = False  # chained residue regroup for the d>=8 tail
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -418,10 +548,93 @@ class AdaLNResBlock(nn.Module):
                 dtype=self.dtype, name="attn")(h) * scale[:, None, None, :]
             h = (h + i_h) / math.sqrt(2.0)
 
+        # Layout-persistent stack (perf experiment, AID_TPU_STACK_MODE=tf):
+        # hold the whole dilated loop in [B, T, F, C] so the freq-dilated
+        # convs see their dilated dim on the sublanes with ONE transpose pair
+        # per stack instead of XLA re-laying-out around every conv.
+        import os as _os
+        stack_env = _os.environ.get("AID_TPU_STACK_MODE", "")
+        modes = set(stack_env.split(",")) if stack_env else None
+        plain_ok = (self.kernel == (5, 3) and self.num_dils > 0
+                    and not self.use_megakernel and not self.use_pallas)
+
+        def want(name, flag):
+            return (name in modes) if modes is not None else flag
+
+        tf_stack = want("tf", False) and plain_ok
+        # pair-packed persistent stack for narrow-channel levels: pack ONCE,
+        # d=1 via the folded (3,3) kernel, even d via the block-diagonal
+        # packed kernel — no per-layer transposes (the foldf path pays two
+        # per layer)
+        pack_stack = (want("pack", self.pack_stack) and plain_ok
+                      and h.shape[-1] <= 64 and h.shape[1] % 2 == 0
+                      and self.use_norm)
+        # chained residue regroup for the d>=8 tail: one layout transition
+        # d -> 2d between large-dilation layers instead of a regroup+ungroup
+        # pair around every one
+        chain_stack = (want("chain", self.chain_regroup) and plain_ok
+                       and not pack_stack and not tf_stack and self.use_norm
+                       and self.num_dils >= 4)
+        Bsz, F_entry = h.shape[0], h.shape[1]
+        cur_d = 1
+        if tf_stack:
+            h = h.transpose(0, 2, 1, 3)
+        if pack_stack:
+            h = _pack_pairs(h)
+
         for i in range(self.num_dils):
+            if chain_stack:
+                d_i = 2 ** i
+                target = d_i if (d_i >= 8 and F_entry % d_i == 0) else 1
+                if target != cur_d:
+                    h = _regroup_transition(h, cur_d, target, Bsz)
+                    cur_d = target
             h0 = h
             gamma = Dense(N, dtype=self.dtype, name=f"affine_{i}")(emb)
             scale = Dense(N, scale=1e-7, dtype=self.dtype, name=f"gate_{i}")(emb)
+            if chain_stack and cur_d > 1:
+                ng = NormGain(N, name=f"norm_{i}")()
+                g = jax.nn.gelu(
+                    _norm_adaln_scale_regrouped(h, ng, gamma, Bsz, cur_d),
+                    approximate=False)
+                wk = ConvParam(N, N, name=f"conv_{i}")().astype(self.dtype)
+                y = jax.lax.conv_general_dilated(
+                    g, wk, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                scale_r = jnp.repeat(scale, cur_d, axis=0)
+                h = (h0 + y * scale_r[:, None, None, :]) / math.sqrt(2.0)
+                continue
+            if pack_stack:
+                ng = NormGain(N, name=f"norm_{i}")()
+                g = jax.nn.gelu(_norm_adaln_scale_packed(h, ng, gamma),
+                                approximate=False)
+                wk = ConvParam(N, N, name=f"conv_{i}")().astype(self.dtype)
+                d = 2 ** i
+                if d == 1:
+                    y = jax.lax.conv_general_dilated(
+                        g, _foldf_weights(wk), (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                else:
+                    y = jax.lax.conv_general_dilated(
+                        g, _packed_even_d_weights(wk), (1, 1), "SAME",
+                        rhs_dilation=(d // 2, 1),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                scale2 = jnp.concatenate([scale, scale], axis=-1)
+                h = (h0 + y * scale2[:, None, None, :]) / math.sqrt(2.0)
+                continue
+            if tf_stack:
+                ng = NormGain(N, name=f"norm_{i}")() if self.use_norm else None
+                if ng is not None:
+                    g = jax.nn.gelu(_norm_adaln_scale(h, ng, gamma),
+                                    approximate=False)
+                else:
+                    g = jax.nn.gelu(h * (gamma[:, None, None, :] + 1.0),
+                                    approximate=False)
+                h = Conv2dFT(N, self.kernel, dilation=(2 ** i, 1),
+                             dtype=self.dtype, spatial_tf=True,
+                             name=f"conv_{i}")(g)
+                h = (h0 + h * scale[:, None, None, :]) / math.sqrt(2.0)
+                continue
             from aid_tpu.ops.pallas.conv_block import (fused_adaln_conv_layer,
                                                        supported_channels)
             if (self.use_megakernel and self.kernel == (5, 3)
@@ -463,6 +676,13 @@ class AdaLNResBlock(nn.Module):
             h = Conv2dFT(N, self.kernel, dilation=(2 ** i, 1), dtype=self.dtype,
                          foldf=self.conv_foldf, name=f"conv_{i}")(g)
             h = (h0 + h * scale[:, None, None, :]) / math.sqrt(2.0)
+
+        if tf_stack:
+            h = h.transpose(0, 2, 1, 3)
+        if pack_stack:
+            h = _unpack_pairs(h)
+        if chain_stack and cur_d > 1:
+            h = _regroup_transition(h, cur_d, 1, Bsz)
 
         if self.proj_place == "after" and N != self.dim_out:
             h = Conv2dFT(self.dim_out, (1, 1), dtype=self.dtype, name="proj_out")(h)
@@ -551,6 +771,8 @@ class UnetCQT(nn.Module):
     use_pallas: bool = False  # fused norm+adaLN+gelu pallas kernel
     use_megakernel: bool = False  # fully fused adaLN+conv pallas layer
     conv_foldf: bool = False  # freq-pair lane packing for C<=64 convs
+    pack_stack: bool = False  # persistent pair-packed stacks at C<=64 levels
+    chain_regroup: bool = False  # chained d>=8 residue regroup in the stacks
     dtype: Any = jnp.float32  # in guidance backprops / large-batch training)
 
     @nn.compact
@@ -561,7 +783,8 @@ class UnetCQT(nn.Module):
         Block = _ft.partial(
             nn.remat(AdaLNResBlock) if self.remat else AdaLNResBlock,
             use_pallas=self.use_pallas, use_megakernel=self.use_megakernel,
-            conv_foldf=self.conv_foldf)
+            conv_foldf=self.conv_foldf, pack_stack=self.pack_stack,
+            chain_regroup=self.chain_regroup)
         emb = RFFEmbedding(self.emb_dim, dtype=self.dtype, name="embedding")(cnoise)
 
         # analysis: list low->high octave of complex [B, 1, bins, M_j]
@@ -675,5 +898,7 @@ def build_unet(args, device=None) -> UnetCQT:
         use_pallas=bool(net.get("use_pallas_fused", False)),
         use_megakernel=bool(net.get("use_conv_megakernel", False)),
         conv_foldf=bool(net.get("conv_foldf", False)),
+        pack_stack=bool(net.get("conv_pack_stack", False)),
+        chain_regroup=bool(net.get("conv_chain_regroup", False)),
         dtype=dtype,
     )

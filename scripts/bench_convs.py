@@ -140,6 +140,62 @@ def conv_foldf(x, w, d):
     return y
 
 
+def conv_packf_grouped(x, w, d):
+    """Freq-pair lane packing WITHOUT regroup, for EVEN d: output parity ==
+    input parity when the tap stride is even, so the (5,3) dilation-d conv on
+    [B,F,T,C] equals a feature_group_count=2 (5,3) dilation-(d/2) conv on the
+    packed [B,F/2,T,2C] tensor with kernel [5,3,C,2N] (each parity group gets
+    the same taps). Zero per-layer transposes once the stack is packed."""
+    B, F, T, C = x.shape
+    N = w.shape[-1]
+    assert d % 2 == 0 and F % 2 == 0
+    z = x.reshape(B, F // 2, 2, T, C).transpose(0, 1, 3, 2, 4)
+    z = z.reshape(B, F // 2, T, 2 * C)
+    wg = jnp.concatenate([w, w], axis=-1)  # [5,3,C,2N]: per-group kernels
+    y = jax.lax.conv_general_dilated(
+        z, wg, (1, 1), "SAME", rhs_dilation=(d // 2, 1),
+        feature_group_count=2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.reshape(B, F // 2, T, 2, N).transpose(0, 1, 3, 2, 4)
+    return y.reshape(B, F, T, N)
+
+
+def conv_packf_dense(x, w, d):
+    """Packed freq pairs with a DENSE block-diagonal kernel [5,3,2C,2N]
+    (2x MACs but a single full-lane conv — no grouped-conv lowering)."""
+    B, F, T, C = x.shape
+    N = w.shape[-1]
+    assert d % 2 == 0 and F % 2 == 0
+    z = x.reshape(B, F // 2, 2, T, C).transpose(0, 1, 3, 2, 4)
+    z = z.reshape(B, F // 2, T, 2 * C)
+    wd = jnp.zeros((5, 3, 2 * C, 2 * N), w.dtype)
+    wd = wd.at[:, :, :C, :N].set(w)
+    wd = wd.at[:, :, C:, N:].set(w)
+    y = jax.lax.conv_general_dilated(
+        z, wd, (1, 1), "SAME", rhs_dilation=(d // 2, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.reshape(B, F // 2, T, 2, N).transpose(0, 1, 3, 2, 4)
+    return y.reshape(B, F, T, N)
+
+
+def conv_tf_swap(x, w, d):
+    """[B,T,F,C] spatial order: dilation rides the W (second-minor) spatial
+    dim — probes whether XLA's TPU conv prefers the dilated dim minor."""
+    z = x.transpose(0, 2, 1, 3)
+    y = jax.lax.conv_general_dilated(
+        z, w.transpose(1, 0, 2, 3), (1, 1), "SAME", rhs_dilation=(1, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.transpose(0, 2, 1, 3)
+
+
+def conv_tf_native(x, w, d):
+    """Same as tf_swap but x ALREADY [B,T,F,C] (no transposes measured):
+    the number to compare if the whole model flipped its layout."""
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", rhs_dilation=(1, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def run(name, fn, x, w, d, reps=30):
     f = jax.jit(lambda a: _chain(lambda c: fn(c, w, d), a, reps))
     base = jax.jit(lambda a: _chain(lambda c: c * 1.000001, a, reps))
@@ -179,7 +235,10 @@ def main():
         ("L5", 384, 128, 256, 256, 7),
         ("L6", 448, 64, 256, 256, 7),
     ]
+    only = os.environ.get("LEVELS", "")
     for (nm, F, T, C, N, nd) in levels:
+        if only and nm not in only.split(","):
+            continue
         for i in range(nd):
             d = 2 ** i
             if os.environ.get("ONLY_MAX_D") and i not in (0, nd - 1):
@@ -190,8 +249,14 @@ def main():
             run("direct", conv_direct, x, w, d)
             if d > 1 and F % d == 0:
                 run("regroup", conv_regroup, x, w, d)
-            if T % 2 == 0 and (d == 1 or F % d == 0):
+            if T % 2 == 0 and (d == 1 or F % d == 0) and not os.environ.get("SKIP_FOLD2"):
                 run("fold2", conv_fold2, x, w, max(d, 1))
+            if d % 2 == 0 and F % 2 == 0:
+                run("packfG", conv_packf_grouped, x, w, d)
+                run("packfD", conv_packf_dense, x, w, d)
+            xt = x.transpose(0, 2, 1, 3)
+            wt = w.transpose(1, 0, 2, 3)
+            run("tfnative", lambda a, ww, dd: conv_tf_native(a, wt, dd), xt, w, d)
 
 
 if __name__ == "__main__":

@@ -186,3 +186,26 @@ def test_conv_foldf_matches_direct(d):
         dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2))(w)
     np.testing.assert_allclose(np.asarray(g["params"]["kernel"]),
                                np.asarray(gref), atol=2e-4)
+
+
+def test_pack_stack_matches_default():
+    """conv_pack_stack (persistent pair-packed dilated stacks) is numerically
+    identical to the per-layer path on C<=64 levels."""
+    import numpy as np
+    from aid_tpu.models.unet_cqt import AdaLNResBlock
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 24, 16)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((2, 8)), jnp.float32)
+    ref_block = AdaLNResBlock(dim_out=16, num_dils=3, use_norm=True, fdim=32)
+    params = ref_block.init(jax.random.PRNGKey(0), x, emb)
+    y0 = np.asarray(ref_block.apply(params, x, emb))
+    packed = AdaLNResBlock(dim_out=16, num_dils=3, use_norm=True, fdim=32,
+                           pack_stack=True)
+    y1 = np.asarray(packed.apply(params, x, emb))
+    np.testing.assert_allclose(y1, y0, atol=2e-5)
+    # C > 64 levels silently keep the default path (packing would not help)
+    xw = jnp.asarray(rng.standard_normal((1, 32, 24, 96)), jnp.float32)
+    wide = AdaLNResBlock(dim_out=96, num_dils=2, use_norm=True, fdim=32,
+                         pack_stack=True)
+    pw = wide.init(jax.random.PRNGKey(1), xw, emb[:1])
+    assert np.isfinite(np.asarray(wide.apply(pw, xw, emb[:1]))).all()
