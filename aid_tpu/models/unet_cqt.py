@@ -119,6 +119,16 @@ class Conv2dFT(nn.Module):
         x = x.astype(self.dtype)
         w = w.astype(self.dtype)
         d = self.dilation[0]
+        if (kh, kw) == (1, 1) and self.dilation == (1, 1):
+            # 1x1 convs as plain dots: a matmul has no spatial-layout
+            # preference, so XLA stops inserting relayout copies around the
+            # proj_in / res_conv / out-block projections
+            y = jnp.einsum("bftc,cn->bftn", x, w[0, 0])
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros_init(),
+                               (self.features,))
+                y = y + b.astype(self.dtype)
+            return y
         if self.spatial_tf:
             # [B, T, F, C] layout: freq is the W spatial dim
             wt = w.transpose(1, 0, 2, 3)
