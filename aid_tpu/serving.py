@@ -115,7 +115,7 @@ class InpaintingService:
     # ------------------------------------------------------------------ core
 
     def inpaint(self, audio: np.ndarray, mask: np.ndarray, fs: int,
-                seed: int = 0, crossfade_ms: float = 5.0) -> np.ndarray:
+                seed: int = 0) -> np.ndarray:
         """Restore the masked samples of an arbitrary-length mono signal."""
         model_fs = int(self.args.exp.sample_rate)
         L = int(self.args.exp.audio_len)

@@ -409,6 +409,23 @@ class Trainer:
         except Exception as e:  # demos must never kill training
             print(f"[heavy_logging] skipped: {e}")
 
+    def _upload_profile_artifact(self) -> None:
+        """Attach the captured jax.profiler trace to the wandb run as an
+        artifact (reference trainer.py:370-381 uploads the torch-profiler
+        TensorBoard trace the same way). No-op without wandb."""
+        if self.wandb._run is None:
+            return
+        try:
+            import wandb as _wandb
+            art = _wandb.Artifact(
+                f"profile-{self.exp.get('exp_name', 'run')}", type="profile")
+            art.add_dir(self.profile_dir)
+            self.wandb._run.log_artifact(art)
+            print(f"[profile] trace uploaded as wandb artifact "
+                  f"({self.profile_dir})")
+        except Exception as e:
+            print(f"[profile] artifact upload skipped: {e}")
+
     def _log_wandb_audio(self, named_clips, it: int) -> None:
         if self.wandb._run is None or not named_clips:
             return
@@ -461,6 +478,7 @@ class Trainer:
             it += 1
             if self.profile_enabled and it == self.profile_start + self.profile_its:
                 jax.profiler.stop_trace()
+                self._upload_profile_artifact()
             if it % self.log_interval == 0 or it == 1:
                 scalars = self.easy_logging(metrics)
                 dt = time.time() - t0
