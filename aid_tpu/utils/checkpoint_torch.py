@@ -197,6 +197,113 @@ def convert_state_dict(sd: Dict[str, Any], flax_params: Dict) -> Dict:
     return {"params": new_params} if "params" in flax_params else new_params
 
 
+def _inverse_translate_key(path: Tuple[str, ...]) -> str:
+    """flax param path -> reference torch state-dict key (exact inverse of
+    ``translate_key``; used by the exporter)."""
+    top = path[0]
+    if top == "embedding":
+        if path[1] == "rff_freq":
+            return "embedding.RFF_freq"
+        k = path[1].split("_")[1]
+        return f"embedding.MLP.{k}." + ("weight" if path[2] == "kernel"
+                                        else "bias")
+    if top.startswith("fenc_"):
+        return f"freq_encodings.{top.split('_')[1]}.rff_freq"
+    if top.startswith("down_"):
+        _, i, what = top.split("_")
+        prefix = {"init": f"downs.{i}.0", "pyr": f"downs.{i}.1",
+                  "res": f"downs.{i}.2"}[what]
+        if what == "pyr":
+            return prefix + ".weight"
+    elif top.startswith("mid_"):
+        _, m, what = top.split("_")
+        prefix = f"middle.{m}." + ("0" if what == "out" else "1")
+    elif top.startswith("up_"):
+        _, j, what = top.split("_")
+        prefix = f"ups.{j}." + ("0" if what == "out" else "1")
+    else:
+        raise KeyError(f"unmapped flax path {path!r}")
+    rest = path[1:]
+    h = rest[0]
+    if h in ("proj_in", "proj_out", "res_conv"):
+        return f"{prefix}.{h}.weight"
+    if h.startswith("conv_"):
+        return f"{prefix}.H.{h.split('_')[1]}.weight"
+    if h == "norm_attn":
+        return f"{prefix}.norm2.gamma"
+    if h in ("affine_attn", "gate_attn"):
+        leaf = "weight" if rest[1] == "kernel" else "bias"
+        return f"{prefix}.{h.split('_')[0]}2.{leaf}"
+    if h.startswith("norm_"):
+        return f"{prefix}.norm.{h.split('_')[1]}.gamma"
+    if h.startswith(("affine_", "gate_")):
+        kind, k = h.split("_")
+        leaf = "weight" if rest[1] == "kernel" else "bias"
+        return f"{prefix}.{kind}.{k}.{leaf}"
+    if h == "attn":
+        sub = rest[1]
+        if sub == "rel_pos":
+            return f"{prefix}.attn_block.rel_pos.relative_attention_bias.weight"
+        leaf = "weight" if rest[2] == "kernel" else "bias"
+        return f"{prefix}.attn_block.{sub}.{leaf}"
+    raise KeyError(f"unmapped flax path {path!r}")
+
+
+def _inverse_translate_value(path: Tuple[str, ...], v) -> np.ndarray:
+    """flax leaf -> torch tensor layout (inverse of ``translate_value``)."""
+    v = np.asarray(v, np.float32)
+    leaf, parent = path[-1], path[-2] if len(path) >= 2 else ""
+    if leaf == "gamma":
+        return v.reshape(1, -1, 1, 1)
+    if leaf in ("rff_freq", "embedding", "bias"):
+        return v
+    if parent == "qk":
+        return v.T[:, :, None]
+    if v.ndim == 4:
+        return v.transpose(3, 2, 0, 1)
+    if v.ndim == 2:
+        return v.T
+    raise ValueError(f"unhandled tensor at {'/'.join(path)}: shape {v.shape}")
+
+
+def export_state_dict(flax_params: Dict) -> Dict[str, np.ndarray]:
+    """Flax param tree -> reference-layout torch state dict (numpy values).
+
+    The inverse of ``convert_state_dict``: lets a model trained in this
+    framework be consumed by the reference PyTorch code (or compared against
+    torch tooling). Round-trips bit-exactly with the importer.
+    """
+    import jax
+
+    target = flax_params["params"] if "params" in flax_params else flax_params
+    flat = jax.tree_util.tree_flatten_with_path(target)[0]
+    out: Dict[str, np.ndarray] = {}
+    for p, v in flat:
+        path = tuple(k.key for k in p)
+        key = _inverse_translate_key(path)
+        if key in out:
+            raise KeyError(f"duplicate torch key {key} from {path}")
+        out[key] = _inverse_translate_value(path, np.asarray(v))
+    return out
+
+
+def export_checkpoint(path: str, bundle, it: int = 0,
+                      ema_params: Dict = None) -> str:
+    """Write a reference-format .pt checkpoint
+    ({'it','network','ema','optimizer'} — trainer.py:187-194 layout) loadable
+    by the upstream code. Requires torch."""
+    import torch
+
+    net_sd = {k: torch.from_numpy(v.copy())
+              for k, v in export_state_dict(bundle.params).items()}
+    ema_sd = ({k: torch.from_numpy(v.copy())
+               for k, v in export_state_dict(ema_params).items()}
+              if ema_params is not None else net_sd)
+    torch.save({"it": int(it), "network": net_sd, "ema": ema_sd,
+                "optimizer": {}}, path)
+    return path
+
+
 def load_reference_checkpoint(path: str, bundle) -> Dict:
     """Load a reference .pt and return converted flax params for `bundle`.
 

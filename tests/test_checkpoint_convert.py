@@ -176,3 +176,34 @@ def test_load_reference_pt_end_to_end(flax_params, tmp_path):
     bundle.params = loaded
     y = bundle.apply(jnp.zeros((1, TINY["audio_len"])), jnp.zeros((1, 1)))
     assert y.shape == (1, TINY["audio_len"])
+
+
+def test_export_state_dict_roundtrips(flax_params):
+    """The shipped exporter (flax -> reference torch layout) inverts the
+    importer bit-exactly and agrees with the test-local inverse grammar."""
+    sd = ckpt.export_state_dict(flax_params)
+    back = ckpt.convert_state_dict(sd, flax_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        back, flax_params)
+
+
+def test_export_checkpoint_pt_loads_back(flax_params, tmp_path):
+    import torch
+    from aid_tpu.ops.cqt import get_cqt
+    from aid_tpu.models.bundle import NetBundle
+
+    class _B:  # minimal bundle facade for the exporter/loader
+        params = flax_params
+
+    p = str(tmp_path / "exported-123.pt")
+    ckpt.export_checkpoint(p, _B, it=123)
+    payload = torch.load(p, map_location="cpu", weights_only=False)
+    assert payload["it"] == 123
+    assert set(payload) == {"it", "network", "ema", "optimizer"}
+    converted = ckpt.load_reference_checkpoint(p, _B)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        converted, flax_params)
