@@ -93,20 +93,13 @@ def _foldf_weights(w: jnp.ndarray) -> jnp.ndarray:
 
 
 class Conv2dFT(nn.Module):
-    """Bias-free conv over (F, T) with freq dilation; input [B, F, T, C].
-
-    ``spatial_tf``: the input is ALREADY transposed to [B, T, F, C] (the
-    caller holds a whole dilated stack in that layout so the dilated spatial
-    dim rides the sublanes once instead of being re-laid-out around every
-    conv). The PARAM layout stays (kh, kw, C, N) — checkpoint-identical; the
-    kernel is transposed at trace time."""
+    """Bias-free conv over (F, T) with freq dilation; input [B, F, T, C]."""
     features: int
     kernel: Tuple[int, int] = (1, 1)
     dilation: Tuple[int, int] = (1, 1)
     scale: float = math.sqrt(1.0 / 3.0)
     use_bias: bool = False
     foldf: bool = False   # freq-pair lane packing for narrow-channel convs
-    spatial_tf: bool = False  # input/output are [B, T, F, C]
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -124,30 +117,6 @@ class Conv2dFT(nn.Module):
             # preference, so XLA stops inserting relayout copies around the
             # proj_in / res_conv / out-block projections
             y = jnp.einsum("bftc,cn->bftn", x, w[0, 0])
-            if self.use_bias:
-                b = self.param("bias", nn.initializers.zeros_init(),
-                               (self.features,))
-                y = y + b.astype(self.dtype)
-            return y
-        if self.spatial_tf:
-            # [B, T, F, C] layout: freq is the W spatial dim
-            wt = w.transpose(1, 0, 2, 3)
-            if d >= 8 and x.shape[2] % d == 0:
-                # residue-class regroup in TF layout (classes -> batch)
-                B_, T_, F_, C_ = x.shape
-                z = x.reshape(B_, T_, F_ // d, d, C_).transpose(0, 3, 1, 2, 4)
-                z = z.reshape(B_ * d, T_, F_ // d, C_)
-                y = jax.lax.conv_general_dilated(
-                    z, wt, (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                y = y.reshape(B_, d, T_, F_ // d, self.features)
-                y = y.transpose(0, 2, 3, 1, 4).reshape(B_, T_, F_,
-                                                       self.features)
-            else:
-                y = jax.lax.conv_general_dilated(
-                    x, wt, (1, 1), "SAME",
-                    rhs_dilation=(self.dilation[1], d),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros_init(),
                                (self.features,))
@@ -571,7 +540,6 @@ class AdaLNResBlock(nn.Module):
         def want(name, flag):
             return (name in modes) if modes is not None else flag
 
-        tf_stack = want("tf", False) and plain_ok
         # pair-packed persistent stack for narrow-channel levels: pack ONCE,
         # d=1 via the folded (3,3) kernel, even d via the block-diagonal
         # packed kernel — no per-layer transposes (the foldf path pays two
@@ -583,12 +551,10 @@ class AdaLNResBlock(nn.Module):
         # d -> 2d between large-dilation layers instead of a regroup+ungroup
         # pair around every one
         chain_stack = (want("chain", self.chain_regroup) and plain_ok
-                       and not pack_stack and not tf_stack and self.use_norm
+                       and not pack_stack and self.use_norm
                        and self.num_dils >= 4)
         Bsz, F_entry = h.shape[0], h.shape[1]
         cur_d = 1
-        if tf_stack:
-            h = h.transpose(0, 2, 1, 3)
         if pack_stack:
             h = _pack_pairs(h)
 
@@ -632,19 +598,6 @@ class AdaLNResBlock(nn.Module):
                 scale2 = jnp.concatenate([scale, scale], axis=-1)
                 h = (h0 + y * scale2[:, None, None, :]) / math.sqrt(2.0)
                 continue
-            if tf_stack:
-                ng = NormGain(N, name=f"norm_{i}")() if self.use_norm else None
-                if ng is not None:
-                    g = jax.nn.gelu(_norm_adaln_scale(h, ng, gamma),
-                                    approximate=False)
-                else:
-                    g = jax.nn.gelu(h * (gamma[:, None, None, :] + 1.0),
-                                    approximate=False)
-                h = Conv2dFT(N, self.kernel, dilation=(2 ** i, 1),
-                             dtype=self.dtype, spatial_tf=True,
-                             name=f"conv_{i}")(g)
-                h = (h0 + h * scale[:, None, None, :]) / math.sqrt(2.0)
-                continue
             from aid_tpu.ops.pallas.conv_block import (fused_adaln_conv_layer,
                                                        supported_channels)
             if (self.use_megakernel and self.kernel == (5, 3)
@@ -687,8 +640,6 @@ class AdaLNResBlock(nn.Module):
                          foldf=self.conv_foldf, name=f"conv_{i}")(g)
             h = (h0 + h * scale[:, None, None, :]) / math.sqrt(2.0)
 
-        if tf_stack:
-            h = h.transpose(0, 2, 1, 3)
         if pack_stack:
             h = _unpack_pairs(h)
         if chain_stack and cur_d > 1:

@@ -91,8 +91,21 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (params/opt/ema) across the mesh."""
+    """Replicate a pytree (params/opt/ema) across the mesh.
+
+    On a multi-process mesh, ``device_put`` onto a cross-process sharding
+    runs a collective value-equality check (multihost_utils.assert_equal)
+    that can dead-line under scheduler skew. The values here are identical
+    on every process BY CONSTRUCTION (same seed / same restored checkpoint),
+    so the global arrays are built directly from local shards instead — no
+    collective at all."""
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh,
+                                                lambda idx: x[idx])
+        return jax.tree_util.tree_map(put, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 

@@ -109,16 +109,34 @@ class Sampler:
         """Long/short-gap inpainting (reference :327-346): degradation is the
         mask multiply; projection uses the Hann-smoothed mask."""
         if self.smooth:
-            smooth = jnp.asarray(degr.make_smooth_mask(np.asarray(mask), self.hann_size))
-            if isinstance(getattr(mask, "sharding", None),
-                          jax.sharding.NamedSharding):
-                smooth = jax.device_put(smooth, mask.sharding)  # follow dp
+            smooth = self._smooth_mask_like(mask)
         else:
             smooth = mask
         x, rec = self._jit_inpaint(self.model.params, key, y_masked, mask, smooth)
         if self.rid:
             return x, rec
         return x
+
+    def _smooth_mask_like(self, mask):
+        """Hann-smoothed mask placed like ``mask``. The smoothing is
+        row-independent, so on a multi-process mesh each host smooths only
+        its addressable shards and the global array is assembled without
+        fetching non-addressable data."""
+        if (isinstance(mask, jax.Array)
+                and not mask.is_fully_addressable):
+            shards = [
+                jax.device_put(
+                    jnp.asarray(degr.make_smooth_mask(
+                        np.asarray(s.data), self.hann_size)), s.device)
+                for s in mask.addressable_shards]
+            return jax.make_array_from_single_device_arrays(
+                mask.shape, mask.sharding, shards)
+        smooth = jnp.asarray(
+            degr.make_smooth_mask(np.asarray(mask), self.hann_size))
+        if isinstance(getattr(mask, "sharding", None),
+                      jax.sharding.NamedSharding):
+            smooth = jax.device_put(smooth, mask.sharding)  # follow dp
+        return smooth
 
     def _cached_program(self, task_key, builder):
         """One compiled program per (task, static-config) key: building a

@@ -102,7 +102,14 @@ class InpaintingService:
         if self.mesh is None:
             return jnp.asarray(arr)
         from aid_tpu.parallel import mesh as pmesh
-        return jax.device_put(arr, pmesh.batch_sharding(self.mesh))
+        sh = pmesh.batch_sharding(self.mesh)
+        if jax.process_count() > 1:
+            # every process holds the SAME full window batch; hand each
+            # device its slice without any cross-process collective
+            arr = np.asarray(arr)
+            return jax.make_array_from_callback(arr.shape, sh,
+                                                lambda idx: arr[idx])
+        return jax.device_put(arr, sh)
 
     def _run_batch(self, xb: np.ndarray, mb: np.ndarray, key) -> np.ndarray:
         """One compiled guided-Heun call on a [max_batch, L] window batch."""
@@ -110,6 +117,12 @@ class InpaintingService:
         m = self._place_batch(mb.astype(np.float32))
         rec = self.sampler.predict_inpainting(y, m, key)
         rec = rec[0] if self.sampler.rid else rec
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-host mesh: rows live on other hosts' chips; device_get
+            # would fail on non-addressable shards — allgather the result
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                rec, tiled=True))
         return np.asarray(jax.device_get(rec))
 
     # ------------------------------------------------------------------ core

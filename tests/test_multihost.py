@@ -37,11 +37,14 @@ from aid_tpu import setup as asetup
 from aid_tpu.parallel import mesh as pmesh
 from aid_tpu.utils.config import compose
 
+# tiny on purpose: both processes compile independently on ONE core, and
+# the first cross-process collective fires a timeout if their compile skew
+# is larger than the gloo window — keep compiles to seconds
 args = compose(overrides=[
-    "exp=test_cqtdiff_22k", "exp.audio_len=2048", "exp.batch=8",
-    "exp.total_its=1", "network.cqt.num_octs=3", "network.cqt.bins_per_oct=8",
-    "network.Ns=[8,16,16]", "network.num_dils=[1,1,1]",
-    "network.attention_layers=[0,0,0,0]", "logging.save_model=False",
+    "exp=test_cqtdiff_22k", "exp.audio_len=1024", "exp.batch=8",
+    "exp.total_its=1", "network.cqt.num_octs=2", "network.cqt.bins_per_oct=4",
+    "network.Ns=[4,8]", "network.num_dils=[1,1]",
+    "network.attention_layers=[0,0,0]", "logging.save_model=False",
     "logging.print_model_summary=False",
     f"model_dir=/tmp/aid_tpu_mh_{pid}",
 ])
@@ -55,12 +58,38 @@ B_local = pmesh.local_batch_size(8, trainer.mesh)
 assert B_local == 4, B_local
 # each process contributes ITS half of the global batch (deterministic,
 # disjoint halves -> the global batch is identical for both processes)
-full = np.random.default_rng(7).standard_normal((8, 2048)).astype(np.float32)
+full = np.random.default_rng(7).standard_normal((8, 1024)).astype(np.float32)
 audio = full[pid * 4:(pid + 1) * 4]
 fs = np.full((4,), 22050, np.int64)
+# gloo's first-contact rendezvous has a hard ~30 s window; align the
+# processes at a coordination-service barrier (long timeout) right before
+# each collective phase so single-core compile skew cannot blow it
+def barrier(name):
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier(name, 300_000)
+
+barrier("before_step")
 metrics = trainer.train_step(audio, fs)
 loss = float(np.asarray(jax.device_get(metrics["loss"])))
 print(f"MHLOSS {pid} {loss:.9f}", flush=True)
+
+# dp-sharded serving across BOTH processes: windows land on all 8 devices,
+# the result is allgathered so every host returns the full restored signal
+from aid_tpu.serving import InpaintingService
+args.tester["T"] = 2
+bundle.init(jax.random.PRNGKey(0), 1, 1024)
+srv = InpaintingService(
+    args=args, bundle=bundle,
+    sampler=asetup.setup_sampler(args, network=bundle, diff_params=ediff),
+    max_batch=8).shard(trainer.mesh)
+aud = np.random.default_rng(3).standard_normal(3 * 1024).astype(np.float32) * 0.05
+msk = np.ones_like(aud)
+msk[500:540] = 0.0
+msk[2000:2040] = 0.0
+barrier("before_serving")
+restored = srv.inpaint(aud, msk, 22050)
+assert np.array_equal(restored[msk > 0.5], aud[msk > 0.5])
+print(f"MHSRV {pid} {float(np.sum(restored)):.9f}", flush=True)
 jax.distributed.shutdown()
 """
 
@@ -97,12 +126,18 @@ def test_two_process_spmd_train_step(tmp_path):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} rc={p.returncode}:\n{out[-3000:]}"
-    losses = {}
+    losses, srv_sums = {}, {}
     for out in outs:
         m = re.search(r"MHLOSS (\d) (-?[\d.]+)", out)
         assert m, out[-2000:]
         losses[int(m.group(1))] = float(m.group(2))
+        m2 = re.search(r"MHSRV (\d) (-?[\d.]+)", out)
+        assert m2, out[-2000:]
+        srv_sums[int(m2.group(1))] = float(m2.group(2))
     assert set(losses) == {0, 1}
     # the psum-reduced loss must agree exactly across processes
     assert losses[0] == losses[1], losses
     assert np.isfinite(losses[0])
+    # both hosts reconstruct the identical full signal from the shared mesh
+    assert srv_sums[0] == srv_sums[1], srv_sums
+    assert np.isfinite(srv_sums[0])
