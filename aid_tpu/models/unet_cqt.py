@@ -773,8 +773,10 @@ class UnetCQT(nn.Module):
                 X = C2
                 pyr = resample_time(C, up=False)
             elif i < O - 1:
-                pyr = jnp.concatenate(
-                    [resample_time(C, up=False), resample_time(pyr, up=False)], axis=1)
+                # downsample once AFTER the freq-concat (the resampler is
+                # row-independent, so down(cat) == cat(down) exactly)
+                pyr = resample_time(jnp.concatenate([C, pyr], axis=1),
+                                    up=False)
                 X = jnp.concatenate([C2, X], axis=1)
             else:  # deepest octave: no time downsampling
                 pyr = jnp.concatenate([C, pyr], axis=1)

@@ -420,11 +420,14 @@ class CQT:
         onto the octave-band subspace so un-modeled DC/Nyquist content does not
         leak into losses or guidance norms. Exact equivalent of
         bwd(fwd(x)) in the painless case, at a fraction of the cost.
+
+        Carries a custom VJP: crop . irfft . diag(real mask) . rfft . zero-pad
+        is SELF-ADJOINT (real symmetric convolution; crop/zero-pad are mutual
+        adjoints), so the cotangent rule is the operator itself — which also
+        keeps jax's irfft autodiff (full-spectrum reverse/conjugate ops on a
+        T(1,128)-laid-out vector) out of the guidance backprop.
         """
-        T = x.shape[-1]
-        X = jnp.fft.rfft(self._pad(x).astype(self.dtype))
-        y = jnp.fft.irfft(X * self._hpf_mask, n=self.Ls)
-        return y[..., :T].astype(self.dtype)
+        return _hpf_apply(self, x)
 
     # ---------------------------------------------------------------- info
     # Identity hash/eq: CQT instances are static members of flax Modules; the
@@ -526,6 +529,25 @@ _bwd_oct.defvjp(_bwd_oct_fwdrule, _bwd_oct_bwdrule)
 
 
 _CACHE: dict = {}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _hpf_apply(cqt, x):
+    T = x.shape[-1]
+    X = jnp.fft.rfft(cqt._pad(x).astype(cqt.dtype))
+    y = jnp.fft.irfft(X * cqt._hpf_mask, n=cqt.Ls)
+    return y[..., :T].astype(cqt.dtype)
+
+
+def _hpf_fwd(cqt, x):
+    return _hpf_apply(cqt, x), None
+
+
+def _hpf_bwd(cqt, _, g):
+    return (_hpf_apply(cqt, g),)  # self-adjoint operator
+
+
+_hpf_apply.defvjp(_hpf_fwd, _hpf_bwd)
 
 
 def get_cqt(num_octs: int, bins_per_oct: int, fs: float, audio_len: int,
