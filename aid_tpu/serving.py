@@ -49,7 +49,11 @@ class InpaintingService:
     args: object
     bundle: object
     sampler: object
-    max_batch: int = 4
+    # windows per compiled guided-Heun call. 1 is BOTH latency- and
+    # throughput-optimal on one v5e chip for the flagship workload (batch 2+
+    # regresses ~20% aggregate via near-OOM HBM compression copies, see
+    # PARITY.md perf ledger); shard() scales it to one window per device.
+    max_batch: int = 1
     mesh: object = None
 
     # fraction of a window a gap may occupy before chaining kicks in, and the
@@ -60,7 +64,7 @@ class InpaintingService:
     @classmethod
     def from_config(cls, overrides: Sequence[str] = (),
                     checkpoint: Optional[str] = None,
-                    max_batch: int = 4) -> "InpaintingService":
+                    max_batch: int = 1) -> "InpaintingService":
         from aid_tpu.utils.config import compose
         args = compose(overrides=list(overrides))
         bundle = asetup.setup_network(args)
