@@ -55,7 +55,8 @@ def main():
         "diff_params.sigma_data=0.2",
         "tester.diff_params.sigma_data=0.2",
         "model_dir=/tmp/aid_tpu_smoke",
-    ])
+    ] + ([f"network.gelu={os.environ['SMOKE_GELU']}"]
+         if os.environ.get("SMOKE_GELU") else []))
 
     # synthetic "music": random 3-note chords from a pentatonic set with a
     # shared envelope — highly structured, learnable by a tiny net
@@ -139,6 +140,24 @@ def main():
     logu.write_audio_file(clean[0], fs, "clean", out_dir)
     logu.write_audio_file(np.asarray(y_masked)[0], fs, "masked", out_dir)
     logu.write_audio_file(rec[0], fs, "reconstructed", out_dir)
+    # SMOKE_GELU_SWEEP=1: sample the SAME trained weights under each gelu
+    # flavor (the "reference-trained checkpoint served with the tanh
+    # approximation" scenario behind the network.gelu default)
+    if os.environ.get("SMOKE_GELU_SWEEP"):
+        trained_with = bundle.module.gelu
+        for v in ("erf", "tanh", "sigmoid"):
+            if v == trained_with:
+                print(f"gap SNR gelu={v}: {snr:.2f} dB (trained with)", flush=True)
+                continue
+            bundle.module = bundle.module.clone(gelu=v)
+            sv = asetup.setup_sampler(args, network=bundle, diff_params=ediff)
+            rv = np.asarray(sv.predict_inpainting(
+                y_masked, jnp.asarray(mask), jax.random.PRNGKey(5)))
+            print(f"gap SNR gelu={v}: {gap_snr(rv):.2f} dB  "
+                  f"(max|Δ| vs {trained_with} = {np.max(np.abs(rv - rec)):.2e})",
+                  flush=True)
+        bundle.module = bundle.module.clone(gelu=trained_with)
+
     # pass = training moved the needle decisively vs the untrained baseline
     ok = snr > snr_untrained + 5.0
     print("E2E SMOKE", "PASS" if ok else "FAIL", flush=True)

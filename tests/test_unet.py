@@ -209,3 +209,29 @@ def test_pack_stack_matches_default():
                          pack_stack=True)
     pw = wide.init(jax.random.PRNGKey(1), xw, emb[:1])
     assert np.isfinite(np.asarray(wide.apply(pw, xw, emb[:1]))).all()
+
+
+def test_gelu_variants_close_to_erf(model_and_params):
+    """network.gelu tanh/sigmoid are serving-speed approximations of the
+    reference's exact erf GELU (unet_cqt._gelu); outputs must track the erf
+    model closely on realistic inputs (the approximation error is ~1e-3 at
+    the activation level and stays small through the full octave U-Net)."""
+    model, params, japply = model_and_params
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, TINY["audio_len"])) * 0.05,
+        jnp.float32)
+    cn = jnp.full((1, 1), 0.25 * math.log(0.3))
+    y_erf = japply(params, x, cn)
+    scale = float(jnp.max(jnp.abs(y_erf))) + 1e-9
+    for variant in ("tanh", "sigmoid"):
+        m2 = model.clone(gelu=variant)
+        y = jax.jit(m2.apply)(params, x, cn)
+        rel = float(jnp.max(jnp.abs(y - y_erf))) / scale
+        assert rel < 0.05, (variant, rel)
+    # and the config key plumbs through the factory
+    from aid_tpu.utils.config import compose
+    args = compose(overrides=["network=cqtdiff_plus_22k",
+                              "logging.print_model_summary=False",
+                              "model_dir=/tmp/aid_gelu_cfg"])
+    from aid_tpu.models.unet_cqt import build_unet
+    assert build_unet(args).gelu == "tanh"
