@@ -3,7 +3,7 @@
 Measures batches/s of the MAESTRO train pipeline (native WAV segment decode ->
 batched() -> prefetch) for several worker counts, against the flagship train
 step (BASELINE.md: 520 ms/step at global batch 4 => the loader must sustain
->= 5.7 segments/s per chip to stay off the critical path; multi-chip dp
+>= 7.7 segments/s per chip to stay off the critical path; multi-chip dp
 multiplies that by the dp degree).
 
 The corpus is synthetic but realistically sized (MAESTRO files are minutes
