@@ -158,8 +158,19 @@ def main():
                   flush=True)
         bundle.module = bundle.module.clone(gelu=trained_with)
 
+    # quality-metric gate: the reconstruction (gap included) must track the
+    # clean signal spectrally, not just in gap SNR (testing/metrics.py —
+    # the same LSD used for paper-parity evaluation)
+    from aid_tpu.testing import metrics as qm
+    lsd_rec = qm.lsd(clean[0], rec[0], n_fft=512, hop=128)
+    lsd_masked = qm.lsd(clean[0], np.asarray(y_masked)[0], n_fft=512, hop=128)
+    print(f"LSD reconstructed {lsd_rec:.3f} vs masked {lsd_masked:.3f}",
+          flush=True)
+
     # pass = training moved the needle decisively vs the untrained baseline
-    ok = snr > snr_untrained + 5.0
+    # AND the restored signal is spectrally closer to clean than the gapped
+    # input was
+    ok = snr > snr_untrained + 5.0 and lsd_rec < lsd_masked
     print("E2E SMOKE", "PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 

@@ -235,3 +235,28 @@ def test_gelu_variants_close_to_erf(model_and_params):
                               "model_dir=/tmp/aid_gelu_cfg"])
     from aid_tpu.models.unet_cqt import build_unet
     assert build_unet(args).gelu == "tanh"
+
+
+def test_chain_regroup_matches_default():
+    """conv_chain_regroup (one residue-layout transition between d>=8 layers
+    instead of a regroup+ungroup pair around each) is numerically identical
+    to the per-layer path. Needs num_dils >= 4 so the stack reaches d=8, and
+    F divisible by the largest chained d."""
+    import numpy as np
+    from aid_tpu.models.unet_cqt import AdaLNResBlock
+    rng = np.random.default_rng(0)
+    # F=32: d=8 regroups (32%8==0), d=16 regroups (32%16==0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 24, 16)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((2, 8)), jnp.float32)
+    ref_block = AdaLNResBlock(dim_out=16, num_dils=5, use_norm=True, fdim=32)
+    params = ref_block.init(jax.random.PRNGKey(0), x, emb)
+    y0 = np.asarray(ref_block.apply(params, x, emb))
+    chained = AdaLNResBlock(dim_out=16, num_dils=5, use_norm=True, fdim=32,
+                            chain_regroup=True)
+    y1 = np.asarray(chained.apply(params, x, emb))
+    np.testing.assert_allclose(y1, y0, atol=2e-5)
+    # pack_stack takes precedence at C<=64; both flags together still exact
+    both = AdaLNResBlock(dim_out=16, num_dils=5, use_norm=True, fdim=32,
+                         pack_stack=True, chain_regroup=True)
+    y2 = np.asarray(both.apply(params, x, emb))
+    np.testing.assert_allclose(y2, y0, atol=2e-5)
