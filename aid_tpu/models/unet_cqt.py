@@ -577,10 +577,16 @@ class AdaLNResBlock(nn.Module):
         if pack_stack:
             h = _pack_pairs(h)
 
+        # smallest dilation the chain regroups. Swept on the 22k flagship
+        # (AID_TPU_CHAIN_MIN_D): 8 -> 2.091x RT, 4 -> 2.103x, 2 -> 2.116x —
+        # regrouped plain convs beat direct rhs_dilation convs at EVERY d
+        # once the per-layer regroup copies are chained away.
+        chain_min_d = int(_os.environ.get("AID_TPU_CHAIN_MIN_D", "2"))
         for i in range(self.num_dils):
             if chain_stack:
                 d_i = 2 ** i
-                target = d_i if (d_i >= 8 and F_entry % d_i == 0) else 1
+                target = d_i if (d_i >= chain_min_d
+                                 and F_entry % d_i == 0) else 1
                 if target != cur_d:
                     h = _regroup_transition(h, cur_d, target, Bsz)
                     cur_d = target
