@@ -49,11 +49,12 @@ class InpaintingService:
     args: object
     bundle: object
     sampler: object
-    # windows per compiled guided-Heun call. 1 is BOTH latency- and
-    # throughput-optimal on one v5e chip for the flagship workload (batch 2+
-    # regresses ~20% aggregate via near-OOM HBM compression copies, see
-    # PARITY.md perf ledger); shard() scales it to one window per device.
-    max_batch: int = 1
+    # windows per compiled guided-Heun call (GLOBAL batch; shard() rounds it
+    # up to a multiple of the mesh size). 2 is the measured single-chip
+    # throughput optimum for the flagship guided workload (PARITY.md sweep:
+    # 1 -> 2.117x, 2 -> 2.175x, 3+ regress HBM-bound); set 1 to minimize
+    # per-request latency instead.
+    max_batch: int = 2
     mesh: object = None
 
     # fraction of a window a gap may occupy before chaining kicks in, and the
@@ -64,7 +65,7 @@ class InpaintingService:
     @classmethod
     def from_config(cls, overrides: Sequence[str] = (),
                     checkpoint: Optional[str] = None,
-                    max_batch: int = 1) -> "InpaintingService":
+                    max_batch: int = 2) -> "InpaintingService":
         from aid_tpu.utils.config import compose
         args = compose(overrides=list(overrides))
         bundle = asetup.setup_network(args)

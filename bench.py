@@ -20,7 +20,10 @@ import numpy as np
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    # batch 2 is the measured throughput optimum on one v5e for the flagship
+    # guided workload (sweep in PARITY.md: 1 -> 2.117x, 2 -> 2.175x,
+    # 3 -> 1.975x, 4 -> 1.90x aggregate RT; 3+ goes HBM-bound)
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     # BENCH_DEVICES=n: data-parallel serving over an n-device dp mesh
     # (aggregate RTF; per-window batch stays BENCH_BATCH per device). On the
