@@ -2,8 +2,8 @@
 
 Measures batches/s of the MAESTRO train pipeline (native WAV segment decode ->
 batched() -> prefetch) for several worker counts, against the flagship train
-step (BASELINE.md: 520 ms/step at global batch 4 => the loader must sustain
->= 7.7 segments/s per chip to stay off the critical path; multi-chip dp
+step (BASELINE.md: 439 ms/step at global batch 4 => the loader must sustain
+>= 9.1 segments/s per chip to stay off the critical path; multi-chip dp
 multiplies that by the dp degree).
 
 The corpus is synthetic but realistically sized (MAESTRO files are minutes
@@ -87,7 +87,7 @@ def main():
     ap.add_argument("--secs", type=float, default=120.0)
     ap.add_argument("--batches", type=int, default=40)
     ap.add_argument("--batch-size", type=int, default=4)
-    ap.add_argument("--step-ms", type=float, default=520.0,
+    ap.add_argument("--step-ms", type=float, default=439.0,
                     help="train-step budget to compare against (BASELINE.md)")
     ap.add_argument("--flac", action="store_true",
                     help="LibriSpeech-shaped FLAC corpus (native LPC decode) "
