@@ -65,9 +65,13 @@ class InpaintingService:
     @classmethod
     def from_config(cls, overrides: Sequence[str] = (),
                     checkpoint: Optional[str] = None,
-                    max_batch: int = 2) -> "InpaintingService":
+                    max_batch: Optional[int] = None) -> "InpaintingService":
         from aid_tpu.utils.config import compose
         args = compose(overrides=list(overrides))
+        if max_batch is None:
+            # per-model measured optimum (network.serving_max_batch); the
+            # batch sweep is model-dependent — see PARITY.md
+            max_batch = int(args.network.get("serving_max_batch", 2))
         bundle = asetup.setup_network(args)
         bundle.init(jax.random.PRNGKey(0), 1, int(args.exp.audio_len))
         diff = asetup.setup_diff_parameters(args)

@@ -154,3 +154,15 @@ def test_init_distributed_gating(monkeypatch):
     monkeypatch.delenv("AID_TPU_DISTRIBUTED", raising=False)
     assert pmesh.init_distributed(True) is True
     assert len(calls) == 2
+
+
+def test_serving_max_batch_from_network_config():
+    """from_config(max_batch=None) picks the per-model measured optimum
+    (network.serving_max_batch: 22k flagship -> 2, 44k -> 1)."""
+    from aid_tpu.utils.config import compose
+    a22 = compose(overrides=["network=cqtdiff_plus_22k",
+                             "model_dir=/tmp/aid_smb"])
+    a44 = compose(overrides=["network=cqtdiff_plus_44k",
+                             "model_dir=/tmp/aid_smb"])
+    assert int(a22.network.serving_max_batch) == 2
+    assert int(a44.network.serving_max_batch) == 1
