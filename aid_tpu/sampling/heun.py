@@ -118,7 +118,12 @@ def make_score_fn(
         return score_guided
 
     def score_replace(x, t):
-        xh = x_hat_of(x, t)
+        # NB the reference applies apply_hpf_DC in the unconditional and
+        # guided branches but NOT here (edm_sampler_inpainting.py:142-152 has
+        # no filter) — matched exactly, verified by the trajectory-level
+        # differential test against the genuine reference code
+        # (tests/test_reference_code_parity.py).
+        xh = denoise(x, t)
         xh2 = proj(xh) if proj is not None else xh
         return (xh2 - x) / t ** 2, Record(x, xh, jnp.zeros_like(x), xh, xh2,
                                           jnp.zeros_like(x))
