@@ -78,6 +78,10 @@ def _worker_main(args, callable_name, worker_id, batch_size, q):
     import os
     import traceback
     os.environ["JAX_PLATFORMS"] = "cpu"  # defensive: workers must not attach
+    # hard guard for library code (e.g. _process_seed): this process is a
+    # decode worker — never consult jax, even though the forkserver template
+    # has it imported via sitecustomize
+    os.environ["AID_TPU_DATA_WORKER"] = "1"
     try:
         from aid_tpu.utils.containers import EasyDict
         from aid_tpu.utils.registry import call_func_by_name

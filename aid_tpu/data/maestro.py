@@ -25,15 +25,25 @@ from aid_tpu.data import audio_io
 
 def _process_seed(base: int) -> int:
     """Per-host seed sharding (the InfiniteSampler role, reference
-    misc.py:110-141). Consults jax.process_index() ONLY when jax is already
-    imported in this process: decode worker subprocesses must never trigger a
-    backend attach (the single-tenant TPU tunnel blocks a second client —
-    importing jax here deadlocked the multi-process loader)."""
+    misc.py:110-141). Consults jax.process_index() ONLY when a jax backend is
+    ALREADY INITIALIZED in this process: merely checking ``'jax' in
+    sys.modules`` is not enough, because decode-worker subprocesses start
+    from a forkserver template whose sitecustomize imports jax — calling
+    process_index() there would *attach a backend* from the worker, and the
+    single-tenant TPU tunnel blocks a second client (this deadlocked the
+    multi-process loader). In real multi-host runs the trainer initializes
+    jax.distributed before datasets are constructed, so the backend check
+    passes exactly when sharding is meaningful."""
+    import os
     import sys
+    if os.environ.get("AID_TPU_DATA_WORKER"):
+        return int(base)
     jax = sys.modules.get("jax")
     if jax is not None:
         try:
-            return int(base) + 1000003 * jax.process_index()
+            from jax._src import xla_bridge as _xb
+            if _xb._backends:  # attached already; safe + meaningful to ask
+                return int(base) + 1000003 * jax.process_index()
         except Exception:
             pass
     return int(base)

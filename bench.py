@@ -34,6 +34,14 @@ def main() -> None:
 
     import jax
 
+    # The axon sitecustomize pins the TPU backend regardless of the
+    # JAX_PLATFORMS env var; honor an explicit non-axon request (the bench
+    # guard test and the virtual-mesh BENCH_DEVICES mode run this script on
+    # CPU — without this they'd attach the single-tenant TPU tunnel).
+    _plat = os.environ.get("JAX_PLATFORMS", "")
+    if _plat and "axon" not in _plat:
+        jax.config.update("jax_platforms", _plat)
+
     # persistent compile cache: the flagship guided-Heun program is a large
     # XLA graph; cache it so only the first-ever bench run pays the compile
     jax.config.update("jax_compilation_cache_dir",

@@ -167,6 +167,23 @@ def test_multiprocess_loader(wav_tree):
         loader.close()
 
 
+def test_process_seed_never_attaches_backend(monkeypatch):
+    """_process_seed must not INITIALIZE a jax backend (regression: decode
+    workers fork from a template where sitecustomize has jax imported, so a
+    bare ``'jax' in sys.modules`` guard let process_index() attach to the
+    single-tenant TPU tunnel and deadlock the loader). Here a backend IS up
+    (conftest), so we assert the explicit worker-env guard short-circuits,
+    and that with a backend up and no guard the host seed offset applies."""
+    from aid_tpu.data.maestro import _process_seed
+
+    monkeypatch.setenv("AID_TPU_DATA_WORKER", "1")
+    assert _process_seed(42) == 42          # worker: never consult jax
+    monkeypatch.delenv("AID_TPU_DATA_WORKER")
+    import jax
+    expect = 42 + 1000003 * jax.process_index()
+    assert _process_seed(42) == expect      # host with live backend: sharded
+
+
 def test_worker_failure_propagates(tmp_path):
     from aid_tpu.data.loader import MultiProcessLoader
     bad = tmp_path / "empty"
