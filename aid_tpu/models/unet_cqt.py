@@ -92,6 +92,22 @@ def _foldf_weights(w: jnp.ndarray) -> jnp.ndarray:
     return w3
 
 
+def _quant_mode(field: str) -> str:
+    """Quantization mode with env override (AID_TPU_QUANT=none|int8)."""
+    import os
+    return os.environ.get("AID_TPU_QUANT", field or "none")
+
+
+def _conv_same(x, w, dilation, q8: bool):
+    """Stride-1 SAME NHWC conv, int8-quantized when q8 (serving hot path)."""
+    if q8:
+        from aid_tpu.ops.qconv import qconv
+        return qconv(x, w, tuple(int(v) for v in dilation))
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", rhs_dilation=tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class Conv2dFT(nn.Module):
     """Bias-free conv over (F, T) with freq dilation; input [B, F, T, C]."""
     features: int
@@ -100,12 +116,14 @@ class Conv2dFT(nn.Module):
     scale: float = math.sqrt(1.0 / 3.0)
     use_bias: bool = False
     foldf: bool = False   # freq-pair lane packing for narrow-channel convs
+    quant: str = "none"   # int8: dynamic-quantized MXU path (serving only)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         import os
         mode = os.environ.get("AID_TPU_CONV_MODE", "auto")  # perf experiments
+        q8 = _quant_mode(self.quant) == "int8"
         kh, kw = self.kernel
         w = self.param("kernel", scaled_uniform(self.scale),
                        (kh, kw, x.shape[-1], self.features))
@@ -116,7 +134,11 @@ class Conv2dFT(nn.Module):
             # 1x1 convs as plain dots: a matmul has no spatial-layout
             # preference, so XLA stops inserting relayout copies around the
             # proj_in / res_conv / out-block projections
-            y = jnp.einsum("bftc,cn->bftn", x, w[0, 0])
+            if q8:
+                from aid_tpu.ops.qconv import qdot
+                y = qdot(x, w[0, 0])
+            else:
+                y = jnp.einsum("bftc,cn->bftn", x, w[0, 0])
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros_init(),
                                (self.features,))
@@ -137,9 +159,8 @@ class Conv2dFT(nn.Module):
             Bz, Fz = z.shape[0], z.shape[1]
             z = z.reshape(Bz, Fz // 2, 2, T, C)
             z = z.transpose(0, 1, 3, 2, 4).reshape(Bz, Fz // 2, T, 2 * C)
-            y = jax.lax.conv_general_dilated(
-                z, _foldf_weights(w).astype(self.dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = _conv_same(z, _foldf_weights(w).astype(self.dtype),
+                           (1, 1), q8)
             y = y.reshape(Bz, Fz // 2, T, 2, N)
             y = y.transpose(0, 1, 3, 2, 4).reshape(Bz, Fz, T, N)
             if d > 1:
@@ -159,17 +180,11 @@ class Conv2dFT(nn.Module):
             # SAME padding of 2 per class, exactly.
             z = x.reshape(B, F // d, d, T, C).transpose(0, 2, 1, 3, 4)
             z = z.reshape(B * d, F // d, T, C)
-            y = jax.lax.conv_general_dilated(
-                z, w, window_strides=(1, 1), padding="SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = _conv_same(z, w, (1, 1), q8)
             y = y.reshape(B, d, F // d, T, self.features)
             y = y.transpose(0, 2, 1, 3, 4).reshape(B, F, T, self.features)
         else:
-            y = jax.lax.conv_general_dilated(
-                x, w, window_strides=(1, 1), padding="SAME",
-                rhs_dilation=self.dilation,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            y = _conv_same(x, w, self.dilation, q8)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
             y = y + b.astype(self.dtype)
@@ -518,13 +533,16 @@ class AdaLNResBlock(nn.Module):
     pack_stack: bool = False     # persistent pair-packed dilated stack (C<=64)
     chain_regroup: bool = False  # chained residue regroup for the d>=8 tail
     gelu: str = "erf"            # erf (reference-exact) | tanh | sigmoid
+    quant: str = "none"          # int8: dynamic-quantized MXU serving path
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb):  # x: [B, F, T, C], emb: [B, E]
         dim_in = x.shape[-1]
+        q8 = _quant_mode(self.quant) == "int8"
         N = self.dim_out if self.proj_place == "before" else dim_in
-        h = Conv2dFT(N, (1, 1), dtype=self.dtype, name="proj_in")(x) if dim_in != N else x
+        h = (Conv2dFT(N, (1, 1), quant=self.quant, dtype=self.dtype,
+                      name="proj_in")(x) if dim_in != N else x)
 
         if self.attention is not None:
             a = self.attention
@@ -599,9 +617,7 @@ class AdaLNResBlock(nn.Module):
                     _norm_adaln_scale_regrouped(h, ng, gamma, Bsz, cur_d),
                     self.gelu)
                 wk = ConvParam(N, N, name=f"conv_{i}")().astype(self.dtype)
-                y = jax.lax.conv_general_dilated(
-                    g, wk, (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y = _conv_same(g, wk, (1, 1), q8)
                 scale_r = jnp.repeat(scale, cur_d, axis=0)
                 h = (h0 + y * scale_r[:, None, None, :]) / math.sqrt(2.0)
                 continue
@@ -611,14 +627,10 @@ class AdaLNResBlock(nn.Module):
                 wk = ConvParam(N, N, name=f"conv_{i}")().astype(self.dtype)
                 d = 2 ** i
                 if d == 1:
-                    y = jax.lax.conv_general_dilated(
-                        g, _foldf_weights(wk), (1, 1), "SAME",
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    y = _conv_same(g, _foldf_weights(wk), (1, 1), q8)
                 else:
-                    y = jax.lax.conv_general_dilated(
-                        g, _packed_even_d_weights(wk), (1, 1), "SAME",
-                        rhs_dilation=(d // 2, 1),
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    y = _conv_same(g, _packed_even_d_weights(wk),
+                                   (d // 2, 1), q8)
                 scale2 = jnp.concatenate([scale, scale], axis=-1)
                 h = (h0 + y * scale2[:, None, None, :]) / math.sqrt(2.0)
                 continue
@@ -660,7 +672,8 @@ class AdaLNResBlock(nn.Module):
                 h2 = h * (gamma[:, None, None, :] + 1.0)
                 g = _gelu(h2, self.gelu)
             h = Conv2dFT(N, self.kernel, dilation=(2 ** i, 1), dtype=self.dtype,
-                         foldf=self.conv_foldf, name=f"conv_{i}")(g)
+                         foldf=self.conv_foldf, quant=self.quant,
+                         name=f"conv_{i}")(g)
             h = (h0 + h * scale[:, None, None, :]) / math.sqrt(2.0)
 
         if pack_stack:
@@ -669,8 +682,10 @@ class AdaLNResBlock(nn.Module):
             h = _regroup_transition(h, cur_d, 1, Bsz)
 
         if self.proj_place == "after" and N != self.dim_out:
-            h = Conv2dFT(self.dim_out, (1, 1), dtype=self.dtype, name="proj_out")(h)
-        res = (Conv2dFT(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
+            h = Conv2dFT(self.dim_out, (1, 1), quant=self.quant,
+                         dtype=self.dtype, name="proj_out")(h)
+        res = (Conv2dFT(self.dim_out, (1, 1), quant=self.quant,
+                        dtype=self.dtype, name="res_conv")(x)
                if dim_in != self.dim_out else x)
         return (h + res) / math.sqrt(2.0)
 
@@ -758,6 +773,7 @@ class UnetCQT(nn.Module):
     pack_stack: bool = False  # persistent pair-packed stacks at C<=64 levels
     chain_regroup: bool = False  # chained d>=8 residue regroup in the stacks
     gelu: str = "erf"         # erf (reference-exact) | tanh | sigmoid
+    quant: str = "none"       # int8: dynamic-quantized MXU serving path
     dtype: Any = jnp.float32  # in guidance backprops / large-batch training)
 
     @nn.compact
@@ -769,7 +785,8 @@ class UnetCQT(nn.Module):
             nn.remat(AdaLNResBlock) if self.remat else AdaLNResBlock,
             use_pallas=self.use_pallas, use_megakernel=self.use_megakernel,
             conv_foldf=self.conv_foldf, pack_stack=self.pack_stack,
-            chain_regroup=self.chain_regroup, gelu=self.gelu)
+            chain_regroup=self.chain_regroup, gelu=self.gelu,
+            quant=self.quant)
         emb = RFFEmbedding(self.emb_dim, dtype=self.dtype, name="embedding")(cnoise)
 
         # analysis: list low->high octave of complex [B, 1, bins, M_j]
@@ -813,7 +830,8 @@ class UnetCQT(nn.Module):
             hs.append(X)
             if i < O - 1:
                 X = resample_time(X, up=False)
-            X = (X + Conv2dFT(self.Ns[i], (5, 3), dtype=self.dtype,
+            X = (X + Conv2dFT(self.Ns[i], (5, 3), quant=self.quant,
+                              dtype=self.dtype,
                               name=f"down_{i}_pyr")(pyr)) / math.sqrt(2.0)
 
         # bottleneck
@@ -888,5 +906,6 @@ def build_unet(args, device=None) -> UnetCQT:
         pack_stack=bool(net.get("conv_pack_stack", False)),
         chain_regroup=bool(net.get("conv_chain_regroup", False)),
         gelu=str(net.get("gelu", "erf")),
+        quant=str(net.get("quant", "none")),
         dtype=dtype,
     )

@@ -207,6 +207,13 @@ class Trainer:
         self.dset = dset
         self.tester = tester
         self.bundle = network            # NetBundle
+        quant = str(args.network.get("quant", "none"))
+        if quant != "none":
+            # the int8 path's custom VJP returns zero weight cotangents
+            # (aid_tpu/ops/qconv.py) — training would silently freeze
+            raise ValueError(
+                f"network.quant={quant} is a serving-only path; train with "
+                "network.quant=none and enable quantization at test time")
         self.p = (diff_params.params if hasattr(diff_params, "params")
                   else diff_params)
 

@@ -1,0 +1,172 @@
+"""int8 quantized conv/dot (aid_tpu/ops/qconv.py): exactness on
+integer-representable inputs, approximation bounds on realistic ones, the
+custom-VJP backward identity, model-level fidelity, and the trainer guard."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aid_tpu.ops.qconv import qconv, qdot
+
+
+def _int_tensor(rng, shape):
+    """Integer-valued f32 tensor whose max-abs is exactly 127 => scale 1."""
+    x = rng.integers(-127, 128, shape).astype(np.float32)
+    x.flat[0] = 127.0
+    return jnp.asarray(x)
+
+
+def _ref_conv(x, w, dilation):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("dilation", [(1, 1), (4, 1)])
+def test_qconv_exact_on_int_inputs(dilation):
+    rng = np.random.default_rng(0)
+    x = _int_tensor(rng, (2, 16, 24, 8))
+    w = _int_tensor(rng, (5, 3, 8, 8)) / 127.0  # per-channel max <= 1
+    # force every output channel's max to be quantization-exact
+    w = jnp.round(w * 127.0).at[0, 0, 0, :].set(127.0) / 127.0 * 127.0
+    y = qconv(x, w, dilation)
+    y_ref = _ref_conv(x, w, dilation)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=0, atol=1e-3)
+
+
+def test_qconv_vjp_is_quantized_transpose_conv():
+    rng = np.random.default_rng(1)
+    x = _int_tensor(rng, (1, 8, 12, 4))
+    w = np.array(_int_tensor(rng, (5, 3, 4, 4)))
+    # pin max-abs to 127 along BOTH channel groupings so the forward's
+    # per-out-channel scales AND the backward's (in/out swapped) are exact
+    for c in range(4):
+        w[0, 0, c, c] = 127.0
+    w = jnp.asarray(w)
+    g = _int_tensor(rng, (1, 8, 12, 4))
+    _, vjp = jax.vjp(lambda a: qconv(a, w, (2, 1)), x)
+    (dx,) = vjp(g)
+    _, vjp_ref = jax.vjp(lambda a: _ref_conv(a, w, (2, 1)), x)
+    (dx_ref,) = vjp_ref(g)
+    # integer-exact quantization => backward must equal the f32 transpose conv
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=0, atol=1e-2)
+
+
+def test_qconv_weight_cotangent_is_zero():
+    rng = np.random.default_rng(2)
+    x = _int_tensor(rng, (1, 8, 12, 4))
+    w = _int_tensor(rng, (3, 3, 4, 4))
+    g = jnp.ones((1, 8, 12, 4), jnp.float32)
+    _, vjp = jax.vjp(lambda a, b: qconv(a, b, (1, 1)), x, w)
+    _, dw = vjp(g)
+    assert float(jnp.max(jnp.abs(dw))) == 0.0
+
+
+def test_qconv_relative_error_realistic():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 32, 64, 32)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((5, 3, 32, 32)) / 32).astype(np.float32))
+    y = qconv(x, w, (2, 1))
+    y_ref = _ref_conv(x, w, (2, 1))
+    rel = float(jnp.linalg.norm(y - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 0.02, rel
+
+
+def test_qdot_matches_dense_and_vjp():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 24)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((24, 48)) / 24).astype(np.float32))
+    y = qdot(x, w)
+    y_ref = jnp.einsum("bftc,cn->bftn", x, w)
+    rel = float(jnp.linalg.norm(y - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 0.02, rel
+    g = jnp.asarray(rng.standard_normal(y.shape).astype(np.float32))
+    _, vjp = jax.vjp(lambda a: qdot(a, w), x)
+    (dx,) = vjp(g)
+    dx_ref = jnp.einsum("bftn,cn->bftc", g, w)
+    cos = float(jnp.vdot(dx, dx_ref)
+                / (jnp.linalg.norm(dx) * jnp.linalg.norm(dx_ref)))
+    assert cos > 0.999, cos
+
+
+def _tiny_args(tmp, quant):
+    from aid_tpu.utils.config import compose
+    return compose(overrides=[
+        "exp=test_cqtdiff_22k", "exp.audio_len=2048", "exp.sample_rate=4096",
+        "network.cqt.num_octs=3", "network.cqt.bins_per_oct=8",
+        "network.Ns=[8,16,16]", "network.num_dils=[1,2,2]",
+        "network.attention_layers=[0,0,0,0]",
+        "network.compute_dtype=float32",
+        f"network.quant={quant}",
+        "logging.print_model_summary=False", f"model_dir={tmp}",
+    ])
+
+
+def test_model_fidelity_and_guidance_direction(tmp_path):
+    """End-to-end through the tiny denoiser: int8 output stays close to f32
+    and the guidance gradient (the thing the sampler backprops) keeps its
+    direction — guidance normalizes by ||g||, so direction is what matters."""
+    from aid_tpu import setup as asetup
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 2048)).astype(np.float32) * 0.1)
+    sig = jnp.full((1, 1), 0.05, jnp.float32)
+
+    outs, grads = {}, {}
+    for quant in ("none", "int8"):
+        args = _tiny_args(tmp_path, quant)
+        bundle = asetup.setup_network(args)
+        bundle.init(jax.random.PRNGKey(0), 1, 2048)
+        fn = lambda a: jnp.sum(bundle.apply(a, sig) ** 2)
+        outs[quant] = bundle.apply(x, sig)
+        grads[quant] = jax.grad(fn)(x)
+
+    rel = float(jnp.linalg.norm(outs["int8"] - outs["none"])
+                / (jnp.linalg.norm(outs["none"]) + 1e-12))
+    assert rel < 0.05, f"int8 denoiser output drifted: {rel:.3f}"
+    a, b = grads["int8"], grads["none"]
+    cos = float(jnp.vdot(a, b) / (jnp.linalg.norm(a) * jnp.linalg.norm(b)))
+    assert cos > 0.99, f"guidance direction drifted: cos={cos:.4f}"
+
+
+def test_int8_composes_with_stack_modes(tmp_path):
+    """The flagship ships conv_pack_stack + conv_chain_regroup + conv_foldf;
+    int8 must stay faithful through the folded/packed weight transforms."""
+    from aid_tpu import setup as asetup
+    from aid_tpu.utils.config import compose
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, 2048)).astype(np.float32) * 0.1)
+    sig = jnp.full((1, 1), 0.05, jnp.float32)
+    outs = {}
+    for quant in ("none", "int8"):
+        args = compose(overrides=[
+            "exp=test_cqtdiff_22k", "exp.audio_len=2048",
+            "exp.sample_rate=4096",
+            "network.cqt.num_octs=3", "network.cqt.bins_per_oct=8",
+            "network.Ns=[8,16,16]", "network.num_dils=[2,4,4]",
+            "network.attention_layers=[0,0,0,0]",
+            "network.compute_dtype=float32",
+            "network.conv_pack_stack=True", "network.conv_chain_regroup=True",
+            "network.conv_foldf=True", f"network.quant={quant}",
+            "logging.print_model_summary=False", f"model_dir={tmp_path}",
+        ])
+        bundle = asetup.setup_network(args)
+        bundle.init(jax.random.PRNGKey(0), 1, 2048)
+        outs[quant] = bundle.apply(x, sig)
+    rel = float(jnp.linalg.norm(outs["int8"] - outs["none"])
+                / (jnp.linalg.norm(outs["none"]) + 1e-12))
+    assert rel < 0.05, f"int8+stack-modes drifted: {rel:.3f}"
+
+
+def test_trainer_refuses_quantized_network(tmp_path):
+    from aid_tpu import setup as asetup
+
+    args = _tiny_args(tmp_path, "int8")
+    with pytest.raises(ValueError, match="serving-only"):
+        asetup.setup_trainer(args, dset=None,
+                             network=asetup.setup_network(args),
+                             diff_params=asetup.setup_diff_parameters(args))
