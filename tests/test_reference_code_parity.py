@@ -30,34 +30,79 @@ TINY = dict(num_octs=3, bins_per_oct=8, fs=4096.0, audio_len=2048)
 
 
 def _install_shims():
-    """cqt_nsgt_pytorch -> this repo's CQT (numpy<->torch bridge); torchaudio
-    -> empty module (imported but unused by the network file)."""
+    """cqt_nsgt_pytorch -> this repo's CQT, bridged as DIFFERENTIABLE torch
+    autograd.Functions (backward = the CQT's jax VJP; torch hands backward
+    the conjugate-Wirtinger grad, jax.vjp wants its conjugate — verified by
+    the gradcheck test below). This lets the genuine reference sampler run
+    reconstruction guidance (torch.autograd.grad through the denoiser incl.
+    the transform) on top of this repo's transform. torchaudio -> empty
+    module (imported but unused by the network file)."""
+    import jax
+    import jax.numpy as jnp
     import torch
 
     from aid_tpu.ops.cqt import get_cqt
+
+    def _to_np(t):
+        return t.detach().cpu().numpy()
 
     class CQT_nsgt:  # noqa: N801 - must match the reference import name
         def __init__(self, numocts, binsoct, mode="oct", window="hann",
                      fs=44100, audio_len=44100, dtype=None, device=None):
             assert mode == "oct"
             win = tuple(window) if isinstance(window, (list, tuple)) else window
-            self.cqt = get_cqt(int(numocts), int(binsoct), float(fs),
-                               int(audio_len), window=win)
+            cqt = self.cqt = get_cqt(int(numocts), int(binsoct), float(fs),
+                                     int(audio_len), window=win)
+
+            class _Fwd(torch.autograd.Function):
+                @staticmethod
+                def forward(ctx, x):
+                    y, vjp = jax.vjp(cqt.fwd, jnp.asarray(_to_np(x)))
+                    ctx.vjp = vjp
+                    return tuple(torch.from_numpy(np.array(c)) for c in y)
+
+                @staticmethod
+                def backward(ctx, *gs):
+                    cts = [jnp.asarray(np.conj(_to_np(g))) for g in gs]
+                    (dx,) = ctx.vjp(cts)
+                    return torch.from_numpy(np.array(dx))
+
+            class _Bwd(torch.autograd.Function):
+                @staticmethod
+                def forward(ctx, *coeffs):
+                    arrs = [jnp.asarray(_to_np(c)) for c in coeffs]
+                    y, vjp = jax.vjp(cqt.bwd, arrs)
+                    ctx.vjp = vjp
+                    return torch.from_numpy(np.array(y))
+
+                @staticmethod
+                def backward(ctx, g):
+                    (dcs,) = ctx.vjp(jnp.asarray(_to_np(g)))
+                    return tuple(torch.from_numpy(np.conj(np.array(c)))
+                                 for c in dcs)
+
+            class _Hpf(torch.autograd.Function):
+                @staticmethod
+                def forward(ctx, x):
+                    y, vjp = jax.vjp(cqt.apply_hpf_DC, jnp.asarray(_to_np(x)))
+                    ctx.vjp = vjp
+                    return torch.from_numpy(np.array(y))
+
+                @staticmethod
+                def backward(ctx, g):
+                    (dx,) = ctx.vjp(jnp.asarray(_to_np(g)))
+                    return torch.from_numpy(np.array(dx))
+
+            self._fwd, self._bwd, self._hpf = _Fwd, _Bwd, _Hpf
 
         def fwd(self, x):
-            import jax.numpy as jnp
-            cs = self.cqt.fwd(jnp.asarray(x.detach().cpu().numpy()))
-            return [torch.from_numpy(np.asarray(c)) for c in cs]
+            return list(self._fwd.apply(x))
 
         def bwd(self, coeffs):
-            import jax.numpy as jnp
-            arrs = [jnp.asarray(c.detach().cpu().numpy()) for c in coeffs]
-            return torch.from_numpy(np.asarray(self.cqt.bwd(arrs)))
+            return self._bwd.apply(*coeffs)
 
         def apply_hpf_DC(self, x):
-            import jax.numpy as jnp
-            y = self.cqt.apply_hpf_DC(jnp.asarray(x.detach().cpu().numpy()))
-            return torch.from_numpy(np.asarray(y))
+            return self._hpf.apply(x)
 
     fake = types.ModuleType("cqt_nsgt_pytorch")
     fake.CQT_nsgt = CQT_nsgt
@@ -217,13 +262,80 @@ def _build_both(tmp):
     return ref_sampler, ours, args
 
 
+def test_cqt_shim_gradients_match_jax(tmp_path):
+    """The differentiable shim's torch autograd gradients through
+    bwd(fwd(x)) (both complex conversions in play) equal jax.grad of the
+    same composition — guards the conjugate-Wirtinger convention bridge."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    _install_shims()
+    import cqt_nsgt_pytorch as shim
+    c = shim.CQT_nsgt(3, 8, mode="oct", window=["kaiser", 1.0],
+                      fs=4096, audio_len=2048)
+    rng = np.random.default_rng(3)
+    x_np = (rng.standard_normal((1, 1, 2048)) * 0.1).astype(np.float32)
+    w_np = rng.standard_normal((1, 1, 2048)).astype(np.float32)
+
+    def loss_j(x):
+        return jnp.sum(c.cqt.bwd(c.cqt.fwd(x)) * jnp.asarray(w_np) ** 2)
+
+    g_true = np.asarray(jax.grad(loss_j)(jnp.asarray(x_np)))
+    xt = torch.from_numpy(x_np.copy()).requires_grad_()
+    (c.bwd(c.fwd(xt)) * torch.from_numpy(w_np) ** 2).sum().backward()
+    g = xt.grad.numpy()
+    rel = np.max(np.abs(g - g_true)) / (np.max(np.abs(g_true)) + 1e-12)
+    assert rel < 1e-5, rel
+
+
+def test_sampler_guided_trajectory_parity_vs_reference_code(
+        tmp_path, monkeypatch):
+    """THE headline workload, end to end against the genuine reference code:
+    reconstruction-guided inpainting (xi>0 => torch.autograd.grad through the
+    denoiser incl. the CQT, gradient normalization s = t*xi/(||g||/sqrt(L)),
+    projection every step). Deterministic (S_churn=0), shared weights/prior."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from aid_tpu.diffusion import edm as our_edm
+
+    ref_sampler, ours, args = _build_both(tmp_path)
+    assert float(ref_sampler.xi) > 0  # composed default must be guided
+    L = int(args.exp.audio_len)
+    rng = np.random.default_rng(13)
+    x0 = (rng.standard_normal((1, L))).astype(np.float32)
+    sigma_max = float(args.diff_params.sigma_max)
+    ref_sampler.diff_params.sample_prior = (
+        lambda shape, sigma: torch.from_numpy(x0 * sigma_max))
+    monkeypatch.setattr(our_edm, "sample_prior",
+                        lambda p, key, shape, sigma: jnp.asarray(x0) * sigma)
+
+    clean = (0.1 * np.sin(np.linspace(0, 400, L))[None]).astype(np.float32)
+    mask = np.ones((1, L), np.float32)
+    mask[:, 900:1100] = 0.0
+    y_masked = clean * mask
+
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        r_ref = ref_sampler.predict_inpainting(
+            torch.from_numpy(y_masked), torch.from_numpy(mask))
+        r_ref = r_ref.detach().numpy()
+        r = ours.predict_inpainting(jnp.asarray(y_masked), jnp.asarray(mask),
+                                    jax.random.PRNGKey(3))
+        r = np.asarray(r[0] if isinstance(r, tuple) else r)
+        rel = np.max(np.abs(r - r_ref)) / (np.max(np.abs(r_ref)) + 1e-12)
+        assert rel < 5e-3, f"guided trajectory diverged: {rel:.2e}"
+    finally:
+        jax.config.update("jax_default_matmul_precision", old)
+
+
 def test_sampler_trajectory_parity_vs_reference_code(tmp_path, monkeypatch):
     """Full deterministic Heun trajectories (order 2, S_churn=0) agree with
     the genuine reference sampler: unconditional, and inpainting with the
-    replacement method (xi=0) + smoothed data consistency. Guided (xi>0)
-    cannot run through the numpy CQT shim (torch autograd breaks there); the
-    guidance math is covered by tests/test_sampler.py against recorded
-    semantics instead."""
+    replacement method (xi=0) + smoothed data consistency."""
     import jax
     import jax.numpy as jnp
     import torch
