@@ -217,7 +217,7 @@ def _tiny_overrides(tmp):
     ]
 
 
-def _build_both(tmp):
+def _build_both(tmp, extra=()):
     """(reference Sampler, our Sampler, shared composed args) with identical
     weights and a shared fixed prior."""
     import jax
@@ -228,7 +228,7 @@ def _build_both(tmp):
     from aid_tpu.utils.checkpoint_torch import convert_state_dict
     from aid_tpu.utils.config import compose
 
-    args = compose(overrides=_tiny_overrides(tmp))
+    args = compose(overrides=_tiny_overrides(tmp) + list(extra))
     mod = _load_reference_module()
     torch.manual_seed(0)
     ref_net = mod.Unet_CQT_oct_with_attention(args, device="cpu").eval()
@@ -328,6 +328,60 @@ def test_sampler_guided_trajectory_parity_vs_reference_code(
         r = np.asarray(r[0] if isinstance(r, tuple) else r)
         rel = np.max(np.abs(r - r_ref)) / (np.max(np.abs(r_ref)) + 1e-12)
         assert rel < 5e-3, f"guided trajectory diverged: {rel:.2e}"
+    finally:
+        jax.config.update("jax_default_matmul_precision", old)
+
+
+def test_spectrogram_inpainting_trajectory_parity(tmp_path, monkeypatch):
+    """STFT-domain mask inpainting (reference predict_spectrogram_inpainting
+    :348-364): guided trajectories through torch.stft on the reference side
+    and this repo's jax STFT must agree — window, centering, padding, and the
+    replacement projector y + x - M(x) all in play."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from aid_tpu.diffusion import edm as our_edm
+
+    ref_sampler, ours, args = _build_both(
+        tmp_path, extra=[
+            "tester.spectrogram_inpainting.stft.n_fft=256",
+            "tester.spectrogram_inpainting.stft.hop_length=64",
+            "tester.spectrogram_inpainting.stft.win_length=256",
+        ])
+    L = int(args.exp.audio_len)
+    rng = np.random.default_rng(17)
+    x0 = (rng.standard_normal((1, L))).astype(np.float32)
+    sigma_max = float(args.diff_params.sigma_max)
+    ref_sampler.diff_params.sample_prior = (
+        lambda shape, sigma: torch.from_numpy(x0 * sigma_max))
+    monkeypatch.setattr(our_edm, "sample_prior",
+                        lambda p, key, shape, sigma: jnp.asarray(x0) * sigma)
+
+    clean = (0.1 * np.sin(np.linspace(0, 600, L))[None]).astype(np.float32)
+    # rectangle in (freq, time) frames, sized off the reference's own STFT
+    pad = 256 - L % 256 if L % 256 else 256
+    spec = torch.stft(torch.from_numpy(np.pad(clean, ((0, 0), (0, pad)))),
+                      256, 64, 256, torch.hann_window(256),
+                      return_complex=True)
+    F, T = spec.shape[-2], spec.shape[-1]
+    mask = np.ones((F, T), np.float32)
+    mask[6:20, T // 3:2 * T // 3] = 0.0
+
+    ref_sampler.mask = torch.from_numpy(mask)
+    y_masked_t = ref_sampler.apply_spectral_mask(torch.from_numpy(clean))
+
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        r_ref = ref_sampler.predict_spectrogram_inpainting(
+            y_masked_t, torch.from_numpy(mask)).detach().numpy()
+        r = ours.predict_spectrogram_inpainting(
+            jnp.asarray(y_masked_t.numpy()), jnp.asarray(mask),
+            jax.random.PRNGKey(3))
+        r = np.asarray(r[0] if isinstance(r, tuple) else r)
+        rel = np.max(np.abs(r - r_ref)) / (np.max(np.abs(r_ref)) + 1e-12)
+        assert rel < 5e-3, f"spectrogram trajectory diverged: {rel:.2e}"
     finally:
         jax.config.update("jax_default_matmul_precision", old)
 
