@@ -46,6 +46,13 @@ class SamplerConfig:
     data_consistency_end: bool = False
     filter_out_cqt_DC_Nyq: bool = True
     record: bool = False             # rid-style trajectory recording
+    # Guidance-scale epsilon placement. The two reference samplers differ:
+    # the inpainting one computes s = t*xi/(||g||/sqrt(L) + eps) applied to
+    # x_hat (edm_sampler_inpainting.py:83-87); the generic one (BWE/
+    # declipping/phase-retrieval family) computes s = xi/(normguide*t + eps)
+    # applied to the score (edm_sampler.py:78-81) — identical when
+    # ||g|| >> eps, measurably different when gradients are tiny.
+    guidance_eps: str = "inpainting"   # "inpainting" | "generic"
 
 
 class Record(NamedTuple):
@@ -110,7 +117,13 @@ def make_score_fn(
             (_, xh), g = jax.value_and_grad(norm_and_xhat, has_aux=True)(x, t)
             gnorm = jnp.sqrt(jnp.sum(g.reshape(g.shape[0], -1) ** 2, axis=-1))
             normguide = gnorm / (L ** 0.5)
-            s = (t * cfg.xi / (normguide + 1e-6)).reshape(-1, *([1] * (x.ndim - 1)))
+            if cfg.guidance_eps == "generic":
+                # x_hat-scale equivalent of the generic sampler's
+                # score -= xi/(normguide*t + eps) * g (edm_sampler.py:78-92)
+                s = t ** 2 * cfg.xi / (normguide * t + 1e-6)
+            else:
+                s = t * cfg.xi / (normguide + 1e-6)
+            s = s.reshape(-1, *([1] * (x.ndim - 1)))
             xh1 = xh - s * g
             xh2 = proj(xh1) if (cfg.data_consistency and proj is not None) else xh1
             return (xh2 - x) / t ** 2, Record(x, xh, s * g, xh1, xh2, jnp.zeros_like(x))

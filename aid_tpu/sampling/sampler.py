@@ -138,6 +138,14 @@ class Sampler:
             smooth = jax.device_put(smooth, mask.sharding)  # follow dp
         return smooth
 
+    def _generic_cfg(self):
+        """Config for the tasks modeled on the GENERIC reference sampler
+        (testing/edm_sampler.py: BWE/declipping/phase retrieval): its guidance
+        scale places the stabilizing epsilon differently from the inpainting
+        sampler's (see SamplerConfig.guidance_eps)."""
+        import dataclasses
+        return dataclasses.replace(self.cfg, guidance_eps="generic")
+
     def _cached_program(self, task_key, builder):
         """One compiled program per (task, static-config) key: building a
         fresh jax.jit closure per call would retrace/recompile every test-set
@@ -185,7 +193,7 @@ class Sampler:
             lpf = lambda x: up(down(x))
         else:
             raise ValueError(f"unknown BWE filter {filter_type!r}")
-        p, cfg = self.p, self.cfg
+        p, cfg = self.p, self._generic_cfg()
 
         def build():
             def run(params, key, y):
@@ -205,7 +213,7 @@ class Sampler:
     def predict_declipping(self, y_clipped, key, clip_value: float):
         """Declipping (reference SamplerDeclipping, edm_sampler.py:359-384).
         clip_value is a traced argument (per-file clip levels, one program)."""
-        p, cfg = self.p, self.cfg
+        p, cfg = self.p, self._generic_cfg()
 
         def build():
             def run(params, key, y, cv):
@@ -224,7 +232,7 @@ class Sampler:
     def predict_phase_retrieval(self, y_mag, shape, key):
         """Phase retrieval from STFT magnitudes (reference SamplerPhaseRetrieval,
         edm_sampler.py:308-336)."""
-        p, cfg = self.p, self.cfg
+        p, cfg = self.p, self._generic_cfg()
 
         def build():
             stft_cfg = self.args.tester.spectrogram_inpainting.stft

@@ -217,9 +217,11 @@ def _tiny_overrides(tmp):
     ]
 
 
-def _build_both(tmp, extra=()):
+def _build_both(tmp, extra=(), sampler_file="edm_sampler_inpainting.py"):
     """(reference Sampler, our Sampler, shared composed args) with identical
-    weights and a shared fixed prior."""
+    weights and a shared fixed prior. ``sampler_file`` picks which genuine
+    reference sampler to load (the inpainting one or the generic
+    edm_sampler.py used by the BWE/declipping/phase-retrieval family)."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -229,6 +231,10 @@ def _build_both(tmp, extra=()):
     from aid_tpu.utils.config import compose
 
     args = compose(overrides=_tiny_overrides(tmp) + list(extra))
+    if sampler_file == "edm_sampler.py":
+        # the generic sampler reads a flat boolean here (edm_sampler.py:21)
+        # where the inpainting config tree has a {use, type} sub-dict
+        args["tester"]["posterior_sampling"]["data_consistency"] = False
     mod = _load_reference_module()
     torch.manual_seed(0)
     ref_net = mod.Unet_CQT_oct_with_attention(args, device="cpu").eval()
@@ -247,7 +253,7 @@ def _build_both(tmp, extra=()):
     ref_diff = ref_edm_mod.EDM(args)
 
     spec2 = importlib.util.spec_from_file_location(
-        "ref_sampler", "/root/reference/testing/edm_sampler_inpainting.py")
+        "ref_sampler", f"/root/reference/testing/{sampler_file}")
     ref_samp_mod = importlib.util.module_from_spec(spec2)
     spec2.loader.exec_module(ref_samp_mod)
     ref_sampler = ref_samp_mod.Sampler(ref_net, ref_diff, args, rid=False)
@@ -382,6 +388,56 @@ def test_spectrogram_inpainting_trajectory_parity(tmp_path, monkeypatch):
         r = np.asarray(r[0] if isinstance(r, tuple) else r)
         rel = np.max(np.abs(r - r_ref)) / (np.max(np.abs(r_ref)) + 1e-12)
         assert rel < 5e-3, f"spectrogram trajectory diverged: {rel:.2e}"
+    finally:
+        jax.config.update("jax_default_matmul_precision", old)
+
+
+def test_bwe_trajectory_parity_vs_generic_reference_sampler(
+        tmp_path, monkeypatch):
+    """Bandwidth extension through the GENERIC reference sampler
+    (testing/edm_sampler.py predict_bwe :266-305, firwin branch): guided
+    trajectories with identical FIR taps on both sides. Covers the
+    edm_sampler.py guidance formula (s = xi/(normguide*t), applied to the
+    score) that the BWE/declipping/phase-retrieval task family shares."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.signal
+    import torch
+
+    from aid_tpu.diffusion import edm as our_edm
+
+    ref_sampler, ours, args = _build_both(
+        tmp_path, extra=["tester.data_consistency.use=False"],
+        sampler_file="edm_sampler.py")
+    L = int(args.exp.audio_len)
+    fs = float(args.exp.sample_rate)
+    rng = np.random.default_rng(19)
+    x0 = (rng.standard_normal((1, L))).astype(np.float32)
+    sigma_max = float(args.diff_params.sigma_max)
+    ref_sampler.diff_params.sample_prior = (
+        lambda shape, sigma: torch.from_numpy(x0 * sigma_max))
+    monkeypatch.setattr(our_edm, "sample_prior",
+                        lambda p, key, shape, sigma: jnp.asarray(x0) * sigma)
+
+    clean = (0.1 * np.sin(np.linspace(0, 700, L))[None]).astype(np.float32)
+    order, fc = 50, fs / 8
+    taps = scipy.signal.firwin(numtaps=order + 1, cutoff=fc, fs=fs,
+                               window=("kaiser", 6.76)).astype(np.float32)
+    y_lpf = scipy.signal.convolve(clean[0], taps, mode="same")[None]
+    y_lpf = y_lpf.astype(np.float32)
+
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        r_ref = ref_sampler.predict_bwe(
+            torch.from_numpy(y_lpf),
+            torch.from_numpy(taps).reshape(1, 1, -1), "firwin")
+        r_ref = r_ref.detach().numpy()
+        r = ours.predict_bwe(jnp.asarray(y_lpf), jax.random.PRNGKey(3),
+                             fc=fc, fs=fs, filter_type="firwin", order=order)
+        r = np.asarray(r[0] if isinstance(r, tuple) else r)
+        rel = np.max(np.abs(r - r_ref)) / (np.max(np.abs(r_ref)) + 1e-12)
+        assert rel < 5e-3, f"bwe trajectory diverged: {rel:.2e}"
     finally:
         jax.config.update("jax_default_matmul_precision", old)
 
