@@ -442,6 +442,50 @@ def test_bwe_trajectory_parity_vs_generic_reference_sampler(
         jax.config.update("jax_default_matmul_precision", old)
 
 
+def test_declipping_trajectory_parity_vs_generic_reference_sampler(
+        tmp_path, monkeypatch):
+    """Declipping (reference SamplerDeclipping, edm_sampler.py:359-384).
+    The subclass itself is dead upstream — its super().__init__ passes 7
+    args to a 4-arg base ctor — but its effective behavior is the base
+    sampler's predict_conditional with a clip degradation, which runs fine;
+    that is what we diff against."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from aid_tpu.diffusion import edm as our_edm
+
+    ref_sampler, ours, args = _build_both(
+        tmp_path, extra=["tester.data_consistency.use=False"],
+        sampler_file="edm_sampler.py")
+    L = int(args.exp.audio_len)
+    rng = np.random.default_rng(23)
+    x0 = (rng.standard_normal((1, L))).astype(np.float32)
+    sigma_max = float(args.diff_params.sigma_max)
+    ref_sampler.diff_params.sample_prior = (
+        lambda shape, sigma: torch.from_numpy(x0 * sigma_max))
+    monkeypatch.setattr(our_edm, "sample_prior",
+                        lambda p, key, shape, sigma: jnp.asarray(x0) * sigma)
+
+    clean = (0.1 * np.sin(np.linspace(0, 800, L))[None]).astype(np.float32)
+    cv = 0.04
+    y_clip = np.clip(clean, -cv, cv)
+
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        r_ref = ref_sampler.predict_conditional(
+            torch.from_numpy(y_clip),
+            lambda x: torch.clip(x, min=-cv, max=cv)).detach().numpy()
+        r = ours.predict_declipping(jnp.asarray(y_clip),
+                                    jax.random.PRNGKey(3), clip_value=cv)
+        r = np.asarray(r[0] if isinstance(r, tuple) else r)
+        rel = np.max(np.abs(r - r_ref)) / (np.max(np.abs(r_ref)) + 1e-12)
+        assert rel < 5e-3, f"declipping trajectory diverged: {rel:.2e}"
+    finally:
+        jax.config.update("jax_default_matmul_precision", old)
+
+
 def test_sampler_trajectory_parity_vs_reference_code(tmp_path, monkeypatch):
     """Full deterministic Heun trajectories (order 2, S_churn=0) agree with
     the genuine reference sampler: unconditional, and inpainting with the
