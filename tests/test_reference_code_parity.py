@@ -486,6 +486,59 @@ def test_declipping_trajectory_parity_vs_generic_reference_sampler(
         jax.config.update("jax_default_matmul_precision", old)
 
 
+def test_autoregressive_outpainting_parity_vs_reference(
+        tmp_path, monkeypatch):
+    """Chained outpainting (reference SamplerAutoregressive,
+    edm_sampler.py:386-418 — another dead-ctor subclass; its effective loop
+    is replicated on the base sampler): segment 0 unconditional, each next
+    segment conditioned on the trailing overlap of the previous, concat the
+    non-overlap tails. xi=0 on both sides, where the reference's replacement
+    step y + x_hat - m*x_hat equals our masked projector exactly (y = m*y),
+    so this isolates the CHAINING logic: mask placement, context hand-off,
+    and concatenation."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from aid_tpu.diffusion import edm as our_edm
+
+    ref_sampler, ours, args = _build_both(
+        tmp_path, extra=["tester.posterior_sampling.xi=0.0",
+                         "tester.data_consistency.use=False"],
+        sampler_file="edm_sampler.py")
+    L = int(args.exp.audio_len)
+    rng = np.random.default_rng(29)
+    x0 = (rng.standard_normal((1, L))).astype(np.float32)
+    ref_sampler.diff_params.sample_prior = (
+        lambda shape, sigma: torch.from_numpy(x0) * float(sigma))
+    monkeypatch.setattr(our_edm, "sample_prior",
+                        lambda p, key, shape, sigma: jnp.asarray(x0) * sigma)
+
+    N, ov = 3, 0.25
+    n_ov = int(ov * L)
+
+    # reference AR loop (SamplerAutoregressive.predict_autoregressive body)
+    with torch.no_grad():
+        mask = torch.ones((1, L))
+        mask[:, n_ov:] = 0
+        x = ref_sampler.predict_unconditional((1, L), "cpu")
+        xcat = x
+        x_masked = torch.zeros((1, L))
+        for _ in range(N - 1):
+            x_masked[:, 0:n_ov] = x[:, -n_ov:]
+            ref_sampler.mask = mask
+            x = ref_sampler.predict_conditional(
+                x_masked * mask, lambda z: mask * z)
+            xcat = torch.cat((xcat, x[..., n_ov:]), -1)
+    r_ref = xcat.numpy()
+
+    r = ours.predict_autoregressive(jax.random.PRNGKey(3), num_segments=N,
+                                    overlap=ov, shape=(1, L))
+    rel = np.max(np.abs(r - r_ref)) / (np.max(np.abs(r_ref)) + 1e-12)
+    assert r.shape == r_ref.shape
+    assert rel < 5e-3, f"autoregressive chain diverged: {rel:.2e}"
+
+
 def test_sampler_trajectory_parity_vs_reference_code(tmp_path, monkeypatch):
     """Full deterministic Heun trajectories (order 2, S_churn=0) agree with
     the genuine reference sampler: unconditional, and inpainting with the
