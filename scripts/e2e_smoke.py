@@ -22,6 +22,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # honor an explicit non-axon JAX_PLATFORMS (the PJRT-plugin sitecustomize
+    # otherwise pins the TPU regardless of the env var)
+    _plat = os.environ.get("JAX_PLATFORMS", "")
+    if _plat and "axon" not in _plat:
+        jax.config.update("jax_platforms", _plat)
+
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/aid_tpu_xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -157,6 +163,18 @@ def main():
                   f"(max|Δ| vs {trained_with} = {np.max(np.abs(rv - rec)):.2e})",
                   flush=True)
         bundle.module = bundle.module.clone(gelu=trained_with)
+
+    # SMOKE_QUANT_SWEEP=1: serve the SAME trained weights through the int8
+    # path (network.quant) — the quality side of the int8 serving decision
+    # (gap SNR + waveform delta vs the bf16/f32 reconstruction)
+    if os.environ.get("SMOKE_QUANT_SWEEP"):
+        bundle.module = bundle.module.clone(quant="int8")
+        sq = asetup.setup_sampler(args, network=bundle, diff_params=ediff)
+        rq = np.asarray(sq.predict_inpainting(
+            y_masked, jnp.asarray(mask), jax.random.PRNGKey(5)))
+        print(f"gap SNR quant=int8: {gap_snr(rq):.2f} dB vs none {snr:.2f}  "
+              f"(max|delta| = {np.max(np.abs(rq - rec)):.2e})", flush=True)
+        bundle.module = bundle.module.clone(quant="none")
 
     # quality-metric gate: the reconstruction (gap included) must track the
     # clean signal spectrally, not just in gap SNR (testing/metrics.py —
