@@ -812,14 +812,8 @@ class UnetCQT(nn.Module):
                 dtype=self.dtype, name=f"down_{i}_init")(C2, emb)
             if i == 0:
                 X = C2
-                pyr = resample_time(C, up=False)
-            elif i < O - 1:
-                # downsample once AFTER the freq-concat (the resampler is
-                # row-independent, so down(cat) == cat(down) exactly)
-                pyr = resample_time(jnp.concatenate([C, pyr], axis=1),
-                                    up=False)
-                X = jnp.concatenate([C2, X], axis=1)
-            else:  # deepest octave: no time downsampling
+                pyr = C
+            else:
                 pyr = jnp.concatenate([C, pyr], axis=1)
                 X = jnp.concatenate([C2, X], axis=1)
 
@@ -829,7 +823,15 @@ class UnetCQT(nn.Module):
                 fdim=(i + 1) * bins, dtype=self.dtype, name=f"down_{i}_res")(X, emb)
             hs.append(X)
             if i < O - 1:
-                X = resample_time(X, up=False)
+                # ONE downsample for the main path and the raw-CQT pyramid:
+                # the resampler is row- AND channel-independent, so
+                # down(cat_c(X, pyr)) == (down(X), down(pyr)) exactly —
+                # halves the resampler dispatches on the encoder side (the
+                # pyramid's own freq-concat fold is the same trick, axis=1)
+                nC = X.shape[-1]
+                both = resample_time(
+                    jnp.concatenate([X, pyr], axis=-1), up=False)
+                X, pyr = both[..., :nC], both[..., nC:]
             X = (X + Conv2dFT(self.Ns[i], (5, 3), quant=self.quant,
                               dtype=self.dtype,
                               name=f"down_{i}_pyr")(pyr)) / math.sqrt(2.0)
@@ -868,8 +870,12 @@ class UnetCQT(nn.Module):
             r = out_rows.astype(jnp.float32)
             X_out_list[i] = jax.lax.complex(r[..., 0], r[..., 1])[:, None]  # [B,1,bins,M]
             if i < O - 1:
-                X = resample_time(X, up=True)
-                Xout = resample_time(Xout, up=True)
+                # ONE upsample for the dual decoder paths (exact: the FIR
+                # resampler is channel-independent)
+                nC = X.shape[-1]
+                both = resample_time(
+                    jnp.concatenate([X, Xout], axis=-1), up=True)
+                X, Xout = both[..., :nC], both[..., nC:]
 
         pred = self.cqt.bwd(X_out_list)[:, 0]
         return pred[:, : audio.shape[-1]].astype(jnp.float32)
