@@ -162,6 +162,37 @@ def test_int8_composes_with_stack_modes(tmp_path):
     assert rel < 0.05, f"int8+stack-modes drifted: {rel:.3f}"
 
 
+def test_guided_sampler_runs_quantized(tmp_path):
+    """Full guided inpainting (value_and_grad through the quantized denoiser,
+    projection every step) under int8: finite output, observed samples pinned
+    by data consistency, and the restoration stays close to the f32 one."""
+    import jax
+    from aid_tpu import setup as asetup
+
+    rng = np.random.default_rng(7)
+    clean = (0.1 * np.sin(np.linspace(0, 500, 2048))[None]).astype(np.float32)
+    mask = np.ones((1, 2048), np.float32)
+    mask[:, 800:1000] = 0.0
+    y = jnp.asarray(clean * mask)
+
+    outs = {}
+    for quant in ("none", "int8"):
+        args = _tiny_args(tmp_path, quant)
+        bundle = asetup.setup_network(args)
+        bundle.init(jax.random.PRNGKey(0), 1, 2048)
+        s = asetup.setup_sampler(args, network=bundle,
+                                 diff_params=asetup.setup_diff_parameters(args))
+        r = s.predict_inpainting(y, jnp.asarray(mask), jax.random.PRNGKey(2))
+        outs[quant] = np.asarray(r[0] if isinstance(r, tuple) else r)
+        assert np.isfinite(outs[quant]).all()
+        # smoothed data consistency pins the deep interior of observed audio
+        np.testing.assert_allclose(outs[quant][:, :700], clean[:, :700],
+                                   atol=1e-4)
+    rel = (np.linalg.norm(outs["int8"] - outs["none"])
+           / (np.linalg.norm(outs["none"]) + 1e-12))
+    assert rel < 0.1, f"quantized guided restoration drifted: {rel:.3f}"
+
+
 def test_trainer_refuses_quantized_network(tmp_path):
     from aid_tpu import setup as asetup
 
