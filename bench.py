@@ -48,6 +48,23 @@ def main() -> None:
                       os.path.expanduser("~/.cache/aid_tpu_xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # A wedged TPU tunnel makes the PJRT attach block FOREVER (observed:
+    # single-tenant relay holding a dead client's grant). Fail legibly
+    # instead of hanging the whole bench run.
+    import threading
+    attached = threading.Event()
+
+    def _watchdog():
+        if not attached.wait(float(os.environ.get("BENCH_ATTACH_TIMEOUT",
+                                                  "600"))):
+            print("bench.py: backend attach timed out — TPU tunnel "
+                  "unreachable; no benchmark was run", flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()        # force the attach now, under the watchdog
+    attached.set()
+
     import jax.numpy as jnp
 
     from aid_tpu.utils.config import compose
