@@ -370,6 +370,68 @@ def test_training_gradient_parity_vs_reference_code(monkeypatch):
     assert checked > 20  # the real parameter set, not a trivial subset
 
 
+def test_exported_checkpoint_loads_via_reference_loader(tmp_path):
+    """Interop in the OTHER direction: a checkpoint exported by this
+    framework must load through the reference's own 7-strategy loader
+    (utils/training_utils.py:214-382, the exact path its testers use on the
+    released .pt files) into the reference network, and produce the same
+    denoiser output as our side — a reference user can consume models
+    trained here."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from aid_tpu.models.unet_cqt import UnetCQT
+    from aid_tpu.ops.cqt import get_cqt
+    from aid_tpu.utils import checkpoint_torch as ckpt
+
+    args = _args((0, 0, 1, 1), use_rel_pos=False)
+    model = UnetCQT(
+        cqt=get_cqt(**TINY, window=("kaiser", 1.0)),
+        Ns=tuple(args.network.Ns), num_dils=tuple(args.network.num_dils),
+        attention_layers=(0, 0, 1, 1),
+        attention=dict(args.network.attention_dict),
+        emb_dim=args.network.emb_dim, use_norm=True, use_fencoding=False)
+    rng = np.random.default_rng(37)
+    x = (rng.standard_normal((1, TINY["audio_len"])) * 0.1).astype(np.float32)
+    cn = np.full((1, 1), 0.25 * math.log(0.3), np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(4), jnp.asarray(x),
+                                 jnp.asarray(cn))
+
+    class _B:
+        pass
+
+    b = _B()
+    b.params = params
+    path = str(tmp_path / "exported.pt")
+    ckpt.export_checkpoint(path, b, it=123)
+
+    mod = _load_reference_module()            # installs the CQT shim
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_tu", "/root/reference/utils/training_utils.py")
+    t_utils = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(t_utils)
+
+    torch.manual_seed(1)
+    ref_net = mod.Unet_CQT_oct_with_attention(args, device="cpu").eval()
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    assert sd["it"] == 123
+    assert t_utils.load_state_dict(sd, ema=ref_net)
+
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        y = np.asarray(jax.jit(model.apply)(params, jnp.asarray(x),
+                                            jnp.asarray(cn)))
+    finally:
+        jax.config.update("jax_default_matmul_precision", old)
+    with torch.no_grad():
+        y_ref = ref_net(torch.from_numpy(x), torch.from_numpy(cn)).numpy()
+    rel = np.max(np.abs(y - y_ref)) / (np.max(np.abs(y_ref)) + 1e-12)
+    assert rel < 5e-4, f"reference-loaded export diverged: {rel:.2e}"
+
+
 def test_cqt_shim_gradients_match_jax(tmp_path):
     """The differentiable shim's torch autograd gradients through
     bwd(fwd(x)) (both complex conversions in play) equal jax.grad of the
