@@ -207,7 +207,8 @@ class Trainer:
         self.dset = dset
         self.tester = tester
         self.bundle = network            # NetBundle
-        quant = str(args.network.get("quant", "none"))
+        quant = os.environ.get("AID_TPU_QUANT",
+                               str(args.network.get("quant", "none")))
         if quant != "none":
             # the int8 path's custom VJP returns zero weight cotangents
             # (aid_tpu/ops/qconv.py) — training would silently freeze
