@@ -32,9 +32,16 @@ _EPS = 1e-12
 
 
 def _quant_tensor(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-tensor symmetric int8: (q, scale) with x ~= q * scale."""
+    """Per-SAMPLE (leading-axis) symmetric int8: (q, scale[B,1,...,1]).
+
+    Per-sample rather than per-tensor scales keep every batch row's
+    quantization independent of its batchmates — serving results must not
+    change with batch padding/composition (convs never mix rows, so the
+    dequant stays exact), and quiet rows aren't crushed by a loud row's
+    range."""
     ax = jnp.abs(x.astype(jnp.float32))
-    s = jnp.maximum(jnp.max(ax) / 127.0, _EPS)
+    s = jnp.max(ax, axis=tuple(range(1, x.ndim)), keepdims=True)
+    s = jnp.maximum(s / 127.0, _EPS)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
     return q.astype(jnp.int8), s
 

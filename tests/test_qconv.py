@@ -11,9 +11,10 @@ from aid_tpu.ops.qconv import qconv, qdot
 
 
 def _int_tensor(rng, shape):
-    """Integer-valued f32 tensor whose max-abs is exactly 127 => scale 1."""
+    """Integer-valued f32 tensor with per-ROW max-abs exactly 127, so the
+    per-sample activation scales are exactly 1 (quantization-exact)."""
     x = rng.integers(-127, 128, shape).astype(np.float32)
-    x.flat[0] = 127.0
+    x.reshape(shape[0], -1)[:, 0] = 127.0
     return jnp.asarray(x)
 
 

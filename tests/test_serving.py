@@ -166,3 +166,34 @@ def test_serving_max_batch_from_network_config():
                              "model_dir=/tmp/aid_smb"])
     assert int(a22.network.serving_max_batch) == 2
     assert int(a44.network.serving_max_batch) == 1
+
+
+def test_sharded_service_with_int8_quant():
+    """int8 serving composes with dp-mesh sharding: the quantized guided
+    program (dynamic per-tensor scales inside the partitioned computation)
+    runs over the 8-virtual-device mesh, pins observed samples, and stays
+    close to the unsharded int8 restoration."""
+    from aid_tpu.parallel import mesh as pmesh
+
+    overrides = [
+        "exp.audio_len=2048", "network.cqt.num_octs=3",
+        "network.cqt.bins_per_oct=8", "network.Ns=[8,16,16]",
+        "network.num_dils=[1,1,1]", "network.attention_layers=[0,0,0,0]",
+        "network.quant=int8", "tester.T=3",
+    ]
+    svc = InpaintingService.from_config(overrides=overrides, max_batch=2)
+    fs = 22050
+    T = 2 * 2048
+    rng = np.random.default_rng(9)
+    audio = (rng.standard_normal(T) * 0.05).astype(np.float32)
+    mask = np.ones(T, np.float32)
+    mask[900:1050] = 0
+    ref = svc.inpaint(audio, mask, fs, seed=3)
+
+    sharded = InpaintingService(
+        args=svc.args, bundle=svc.bundle, sampler=svc.sampler,
+        max_batch=2).shard(pmesh.make_mesh(8))
+    out = sharded.inpaint(audio, mask, fs, seed=3)
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out[mask > 0.5], audio[mask > 0.5])
+    np.testing.assert_allclose(out, ref, atol=5e-4)
