@@ -253,8 +253,29 @@ class Sampler:
 
     def predict_compsens(self, y_subsampled, mask, key):
         """Compressive sensing (reference SamplerCompSens, edm_sampler.py:337-357):
-        same structure as inpainting with a random sample mask."""
-        return self.predict_inpainting(y_subsampled, mask, key)
+        a GENERIC-family task — reconstruction guidance through the random
+        sample mask only, with data consistency explicitly off (the reference
+        constructor asserts data_consistency==False and xi>0 at :340-342) and
+        the generic guidance epsilon. mask is a traced argument, so new masks
+        never recompile."""
+        import dataclasses
+        p = self.p
+        cfg = dataclasses.replace(self._generic_cfg(),
+                                  data_consistency=False,
+                                  data_consistency_end=False)
+
+        def build():
+            def run(params, key, y, m):
+                score = make_score_fn(p, cfg, self._denoise_fn(params), y=y,
+                                      degradation=degr.time_mask(m),
+                                      proj=None, hpf=self._hpf())
+                return heun_sample(key, y.shape, p, cfg, score)
+
+            return run
+
+        x, rec = self._cached_program(("compsens",), build)(
+            self.model.params, key, y_subsampled, mask)
+        return (x, rec) if self.rid else x
 
     def predict_autoregressive(self, key, num_segments: int, overlap: float = 0.25,
                                shape: Optional[Tuple[int, int]] = None):

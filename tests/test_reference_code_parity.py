@@ -650,6 +650,50 @@ def test_declipping_trajectory_parity_vs_generic_reference_sampler(
         jax.config.update("jax_default_matmul_precision", old)
 
 
+def test_compsens_trajectory_parity_vs_generic_reference_sampler(
+        tmp_path, monkeypatch):
+    """Compressive sensing (reference SamplerCompSens, edm_sampler.py:337-357):
+    a GENERIC-family task — guidance through a random sample mask with data
+    consistency off (the reference ctor asserts data_consistency==False) and
+    the generic guidance epsilon, so it must NOT ride the inpainting program
+    (inpainting eps + projection every step)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from aid_tpu.diffusion import edm as our_edm
+
+    ref_sampler, ours, args = _build_both(
+        tmp_path, extra=["tester.data_consistency.use=False"],
+        sampler_file="edm_sampler.py")
+    L = int(args.exp.audio_len)
+    rng = np.random.default_rng(29)
+    x0 = (rng.standard_normal((1, L))).astype(np.float32)
+    sigma_max = float(args.diff_params.sigma_max)
+    ref_sampler.diff_params.sample_prior = (
+        lambda shape, sigma: torch.from_numpy(x0 * sigma_max))
+    monkeypatch.setattr(our_edm, "sample_prior",
+                        lambda p, key, shape, sigma: jnp.asarray(x0) * sigma)
+
+    clean = (0.1 * np.sin(np.linspace(0, 500, L))[None]).astype(np.float32)
+    mask = (rng.random((1, L)) < 0.25).astype(np.float32)  # keep 25% samples
+    y_sub = clean * mask
+
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        r_ref = ref_sampler.predict_conditional(
+            torch.from_numpy(y_sub),
+            lambda x: torch.from_numpy(mask) * x).detach().numpy()
+        r = ours.predict_compsens(jnp.asarray(y_sub), jnp.asarray(mask),
+                                  jax.random.PRNGKey(3))
+        r = np.asarray(r[0] if isinstance(r, tuple) else r)
+        rel = np.max(np.abs(r - r_ref)) / (np.max(np.abs(r_ref)) + 1e-12)
+        assert rel < 5e-3, f"compsens trajectory diverged: {rel:.2e}"
+    finally:
+        jax.config.update("jax_default_matmul_precision", old)
+
+
 def test_autoregressive_outpainting_parity_vs_reference(
         tmp_path, monkeypatch):
     """Chained outpainting (reference SamplerAutoregressive,
