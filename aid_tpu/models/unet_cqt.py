@@ -94,8 +94,18 @@ def _foldf_weights(w: jnp.ndarray) -> jnp.ndarray:
 
 def _quant_mode(field: str) -> str:
     """Quantization mode with env override (AID_TPU_QUANT=none|int8)."""
-    import os
-    return os.environ.get("AID_TPU_QUANT", field or "none")
+    from aid_tpu.ops.qconv import quant_mode
+    return quant_mode(field)
+
+
+def _as_dense(w, dtype):
+    """Materialize a kernel param: QWeight leaves (load-time prequantized
+    int8, see qconv.prequantize_params) dequantize only on paths that need
+    full precision; plain arrays just take the compute-dtype cast."""
+    from aid_tpu.ops.qconv import QWeight, dequantize_kernel
+    if isinstance(w, QWeight):
+        return dequantize_kernel(w, dtype)
+    return w.astype(dtype)
 
 
 def _conv_same(x, w, dilation, q8: bool):
@@ -125,10 +135,15 @@ class Conv2dFT(nn.Module):
         mode = os.environ.get("AID_TPU_CONV_MODE", "auto")  # perf experiments
         q8 = _quant_mode(self.quant) == "int8"
         kh, kw = self.kernel
+        from aid_tpu.ops.qconv import QWeight
         w = self.param("kernel", scaled_uniform(self.scale),
                        (kh, kw, x.shape[-1], self.features))
         x = x.astype(self.dtype)
-        w = w.astype(self.dtype)
+        is_qw = isinstance(w, QWeight)
+        if is_qw and not q8:
+            is_qw, w = False, _as_dense(w, self.dtype)
+        if not is_qw:
+            w = w.astype(self.dtype)
         d = self.dilation[0]
         if (kh, kw) == (1, 1) and self.dilation == (1, 1):
             # 1x1 convs as plain dots: a matmul has no spatial-layout
@@ -136,7 +151,7 @@ class Conv2dFT(nn.Module):
             # proj_in / res_conv / out-block projections
             if q8:
                 from aid_tpu.ops.qconv import qdot
-                y = qdot(x, w[0, 0])
+                y = qdot(x, w if is_qw else w[0, 0])
             else:
                 y = jnp.einsum("bftc,cn->bftn", x, w[0, 0])
             if self.use_bias:
@@ -616,7 +631,10 @@ class AdaLNResBlock(nn.Module):
                 g = _gelu(
                     _norm_adaln_scale_regrouped(h, ng, gamma, Bsz, cur_d),
                     self.gelu)
-                wk = ConvParam(N, N, name=f"conv_{i}")().astype(self.dtype)
+                wk = ConvParam(N, N, name=f"conv_{i}")()
+                from aid_tpu.ops.qconv import QWeight as _QW
+                if not (q8 and isinstance(wk, _QW)):
+                    wk = _as_dense(wk, self.dtype)
                 y = _conv_same(g, wk, (1, 1), q8)
                 scale_r = jnp.repeat(scale, cur_d, axis=0)
                 h = (h0 + y * scale_r[:, None, None, :]) / math.sqrt(2.0)
@@ -654,7 +672,8 @@ class AdaLNResBlock(nn.Module):
                     mult = mult * (1.0 + gm)
                 else:
                     mult = jnp.broadcast_to(1.0 + gm, (B, N))
-                wk = ConvParam(N, N, name=f"conv_{i}")()
+                wk = _as_dense(ConvParam(N, N, name=f"conv_{i}")(),
+                               jnp.float32)
                 h = fused_adaln_conv_layer(
                     h, mult, scale.astype(jnp.float32), wk, 2 ** i)
                 continue

@@ -202,3 +202,116 @@ def test_trainer_refuses_quantized_network(tmp_path):
         asetup.setup_trainer(args, dset=None,
                              network=asetup.setup_network(args),
                              diff_params=asetup.setup_diff_parameters(args))
+
+
+# ------------------------------------------------------- load-time prequant
+
+def test_prequant_conv_bitwise_matches_dynamic():
+    """QWeight path must be bit-identical to the dynamic path: prequantize
+    quantizes the SAME casted kernel on the SAME grid, just once."""
+    from aid_tpu.ops.qconv import prequantize_kernel
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 96)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((5, 3, 96, 96)) / 96)
+                    .astype(np.float32))
+    qw = prequantize_kernel(w, jnp.float32)
+    for dil in [(1, 1), (4, 1)]:
+        y_dyn = qconv(x, w, dil)
+        y_pre = qconv(x, qw, dil)
+        np.testing.assert_array_equal(np.asarray(y_dyn), np.asarray(y_pre))
+        g = jnp.asarray(rng.standard_normal(y_dyn.shape).astype(np.float32))
+        (dx_dyn,) = jax.vjp(lambda a: qconv(a, w, dil), x)[1](g)
+        (dx_pre,) = jax.vjp(lambda a: qconv(a, qw, dil), x)[1](g)
+        np.testing.assert_array_equal(np.asarray(dx_dyn), np.asarray(dx_pre))
+
+
+def test_prequant_dot_bitwise_matches_dynamic():
+    from aid_tpu.ops.qconv import prequantize_kernel
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 24)).astype(np.float32))
+    w4 = jnp.asarray((rng.standard_normal((1, 1, 24, 48)) / 24)
+                     .astype(np.float32))
+    qw = prequantize_kernel(w4, jnp.float32)
+    y_dyn = qdot(x, w4[0, 0])
+    y_pre = qdot(x, qw)
+    np.testing.assert_array_equal(np.asarray(y_dyn), np.asarray(y_pre))
+    g = jnp.asarray(rng.standard_normal(y_dyn.shape).astype(np.float32))
+    (dx_dyn,) = jax.vjp(lambda a: qdot(a, w4[0, 0]), x)[1](g)
+    (dx_pre,) = jax.vjp(lambda a: qdot(a, qw), x)[1](g)
+    np.testing.assert_array_equal(np.asarray(dx_dyn), np.asarray(dx_pre))
+
+
+def test_prequantize_params_eligibility():
+    """1x1 kernels and wide spatial kernels become QWeight; the C<=64
+    spatial kernels (foldf/pack levels need the raw kernel) stay dense;
+    non-kernel leaves untouched."""
+    from aid_tpu.ops.qconv import QWeight, prequantize_params
+
+    params = {"params": {
+        "proj": {"kernel": jnp.ones((1, 1, 8, 16))},
+        "wide": {"kernel": jnp.ones((5, 3, 96, 96))},
+        "narrow": {"kernel": jnp.ones((5, 3, 64, 64))},
+        "affine": {"kernel": jnp.ones((256, 16)), "bias": jnp.zeros((16,))},
+    }}
+    out = prequantize_params(params, jnp.float32)
+    p = out["params"]
+    assert isinstance(p["proj"]["kernel"], QWeight)
+    assert isinstance(p["wide"]["kernel"], QWeight)
+    assert not isinstance(p["narrow"]["kernel"], QWeight)
+    assert not isinstance(p["affine"]["kernel"], QWeight)
+    assert p["affine"]["bias"].shape == (16,)
+
+
+def test_model_apply_with_prequant_params_matches_dynamic(tmp_path):
+    """Full tiny denoiser: apply(prequantized params) must equal the dynamic
+    int8 apply bit for bit (same grids), and gradients too."""
+    from aid_tpu import setup as asetup
+    from aid_tpu.ops.qconv import QWeight, prequantize_params
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((1, 2048)).astype(np.float32) * 0.1)
+    sig = jnp.full((1, 1), 0.05, jnp.float32)
+    args = _tiny_args(tmp_path, "int8")
+    bundle = asetup.setup_network(args)
+    bundle.init(jax.random.PRNGKey(0), 1, 2048)
+    pq = prequantize_params(bundle.params, jnp.float32)
+    n_q = sum(isinstance(l, QWeight) for l in
+              jax.tree_util.tree_leaves(
+                  pq, is_leaf=lambda l: isinstance(l, QWeight)))
+    assert n_q > 0, "no kernels were prequantized on the tiny model"
+    y_dyn = bundle.apply(x, sig)
+    y_pre = bundle.module.apply(pq, x, sig)
+    np.testing.assert_array_equal(np.asarray(y_dyn), np.asarray(y_pre))
+    g_dyn = jax.grad(lambda a: jnp.sum(bundle.module.apply(
+        bundle.params, a, sig) ** 2))(x)
+    g_pre = jax.grad(lambda a: jnp.sum(bundle.module.apply(pq, a, sig) ** 2))(x)
+    np.testing.assert_array_equal(np.asarray(g_dyn), np.asarray(g_pre))
+
+
+def test_sampler_prequantizes_once(tmp_path):
+    """Sampler._sparams: int8 -> QWeight leaves, cached per params object;
+    quant=none -> the original tree, untouched."""
+    from aid_tpu import setup as asetup
+    from aid_tpu.ops.qconv import QWeight
+
+    args = _tiny_args(tmp_path, "int8")
+    bundle = asetup.setup_network(args)
+    bundle.init(jax.random.PRNGKey(0), 1, 2048)
+    s = asetup.setup_sampler(args, network=bundle,
+                             diff_params=asetup.setup_diff_parameters(args))
+    sp = s._sparams()
+    leaves = jax.tree_util.tree_leaves(
+        sp, is_leaf=lambda l: isinstance(l, QWeight))
+    assert any(isinstance(l, QWeight) for l in leaves)
+    assert s._sparams() is sp                      # cached
+    bundle.init(jax.random.PRNGKey(1), 1, 2048)    # checkpoint reload
+    assert s._sparams() is not sp                  # cache invalidated
+
+    args0 = _tiny_args(tmp_path, "none")
+    b0 = asetup.setup_network(args0)
+    b0.init(jax.random.PRNGKey(0), 1, 2048)
+    s0 = asetup.setup_sampler(args0, network=b0,
+                              diff_params=asetup.setup_diff_parameters(args0))
+    assert s0._sparams() is b0.params
