@@ -13,7 +13,12 @@ TPU-friendly way:
   * gaps longer than ~60% of a window are filled by CHAINED sub-windows:
     each pass conditions on 25% leading context (the autoregressive
     outpainting recipe, reference testing/edm_sampler.py:386-418) and fills
-    the rest, marching left-to-right until the gap closes;
+    the rest, marching left-to-right until the gap closes; a work-queue
+    scheduler co-batches one pass per chain with pending single-window jobs
+    so no batch row idles while work remains;
+  * every window's observation mask is sliced from a LIVE mask (unknown
+    samples flip to known only after write-back), so clustered gaps inside
+    one window are never pinned as fake observations;
   * reconstructions are written back only inside the gaps; edge continuity
     comes from the sampler's Hann-smoothed data-consistency projection;
   * inputs at foreign sample rates are resampled in (and back out) with the
@@ -34,6 +39,15 @@ import numpy as np
 
 from aid_tpu import setup as asetup
 from aid_tpu.data import audio_io
+
+
+@dataclasses.dataclass
+class _Chain:
+    """March state for a gap longer than one window: ``pos`` is the first
+    still-unfilled sample; each pass fills [pos, min(g1, window_end))."""
+    g0: int
+    g1: int
+    pos: int
 
 
 def find_gaps(mask: np.ndarray) -> List[Tuple[int, int]]:
@@ -163,34 +177,64 @@ class InpaintingService:
         if not gaps:
             return audio.copy()
         out = audio_m.copy()
+        # live observation mask: 0 = still unknown, flipped to 1 as gaps fill.
+        # EVERY window's mask is sliced from this, so a window overlapping
+        # someone else's still-unfilled gap never pins that gap's (zeroed)
+        # samples as observations — the data-consistency projection of
+        # reference testing/edm_sampler_inpainting.py:336-343 must only see
+        # genuinely known samples.
+        cur_mask = mask_m.copy()
 
         long_gap = int(self.LONG_GAP_FRACTION * L)
-        jobs = []   # single-window gaps: (window_start, gap_start, gap_end)
-        chains = []  # gaps needing chained sub-windows
+        ready = []   # independent single-window passes: (w0, a, b) with the
+        #              row's OWN gap at window-relative [a, b)
+        chains = []  # long gaps marching left-to-right (sequential passes)
         for g0, g1 in gaps:
             if g1 - g0 > long_gap:
-                chains.append((g0, g1))
+                chains.append(_Chain(g0=g0, g1=g1, pos=g0))
             else:
                 c = (g0 + g1) // 2
                 w0 = int(np.clip(c - L // 2, 0, T - L))
-                jobs.append((w0, g0, g1))
+                ready.append((w0, max(g0 - w0, 0), min(g1 - w0, L)))
 
+        # Work-queue scheduler: each round co-batches one pass per active
+        # chain (a chain's next pass depends on the previous write-back, so
+        # it contributes at most one row) with as many independent window
+        # jobs as fit — no row of the compiled max_batch program idles while
+        # work is pending.
         key = jax.random.PRNGKey(seed)
-        for i in range(0, len(jobs), self.max_batch):
-            chunk = jobs[i:i + self.max_batch]
+        ctx = max(1, int(self.CHAIN_CONTEXT_FRACTION * L))
+        while ready or chains:
+            batch = []  # (w0, a, b, chain-or-None)
+            for ch in chains[: self.max_batch]:
+                # chained sub-window: observe ``ctx`` known samples on the
+                # left, fill the reachable remainder (the autoregressive
+                # outpainting recipe, reference testing/edm_sampler.py:396-418)
+                w0 = int(np.clip(ch.pos - ctx, 0, T - L))
+                fill_hi = min(ch.g1, w0 + L)
+                batch.append((w0, ch.pos - w0, fill_hi - w0, ch))
+            while len(batch) < self.max_batch and ready:
+                batch.append(ready.pop(0) + (None,))
             xb = np.zeros((self.max_batch, L), np.float32)
             mb = np.ones((self.max_batch, L), np.float32)
-            for r, (w0, g0, g1) in enumerate(chunk):
+            for r, (w0, a, b, _) in enumerate(batch):
                 xb[r] = out[w0:w0 + L]
-                mb[r, max(g0 - w0, 0):min(g1 - w0, L)] = 0.0
+                mb[r] = cur_mask[w0:w0 + L]
+                mb[r, a:b] = 0.0
             key, k = jax.random.split(key)
             rec = self._run_batch(xb, mb, k)
-            for r, (w0, g0, g1) in enumerate(chunk):
-                a, b = max(g0 - w0, 0), min(g1 - w0, L)
+            done = []
+            for r, (w0, a, b, ch) in enumerate(batch):
+                # write back ONLY the row's own fill range; anything else the
+                # sampler hallucinated in overlapping unknowns is discarded
                 out[w0 + a:w0 + b] = rec[r, a:b]
-
-        for g0, g1 in chains:
-            key = self._fill_long_gap(out, g0, g1, key, T, L)
+                cur_mask[w0 + a:w0 + b] = 1.0
+                if ch is not None:
+                    ch.pos = w0 + b
+                    if ch.pos >= ch.g1:
+                        done.append(ch)
+            for ch in done:
+                chains.remove(ch)
 
         out = out[:orig_len]
         mask_m = mask_m[:orig_len]
@@ -202,35 +246,6 @@ class InpaintingService:
             # keep originals outside gaps exactly
             return np.where(mask > 0.5, audio, restored).astype(np.float32)
         return np.where(mask_m > 0.5, audio[: orig_len], out).astype(np.float32)
-
-    def _fill_long_gap(self, out: np.ndarray, g0: int, g1: int, key,
-                       T: int, L: int):
-        """March a model-length window left-to-right across a gap longer than
-        one window can cover. Each pass observes ``CHAIN_CONTEXT_FRACTION`` of
-        already-known (or previously filled) samples on the left and inpaints
-        the remainder — the autoregressive outpainting pattern of reference
-        testing/edm_sampler.py:396-418, driven by the same one compiled
-        inpainting program (windows are batch row 0, padded to max_batch).
-        """
-        ctx = max(1, int(self.CHAIN_CONTEXT_FRACTION * L))
-        pos = g0  # first still-masked sample
-        while pos < g1:
-            w0 = int(np.clip(pos - ctx, 0, T - L))
-            fill_hi = min(g1, w0 + L)  # gap samples this window can reach
-            xb = np.zeros((self.max_batch, L), np.float32)
-            mb = np.ones((self.max_batch, L), np.float32)
-            xb[0] = out[w0:w0 + L]
-            # everything in [pos, fill_hi) is unknown; before pos it is known
-            # (original or filled on a previous pass); after fill_hi it is the
-            # original signal again (only reachable on the final pass)
-            mb[0, pos - w0:fill_hi - w0] = 0.0
-            key, k = jax.random.split(key)
-            rec = self._run_batch(xb, mb, k)
-            out[pos:fill_hi] = rec[0, pos - w0:fill_hi - w0]
-            if fill_hi >= g1:
-                break
-            pos = fill_hi
-        return key
 
     def inpaint_file(self, in_path: str, mask: np.ndarray, out_path: str,
                      seed: int = 0) -> str:
