@@ -146,6 +146,16 @@ class Sampler:
             return x, rec
         return x
 
+    def compile_inpainting(self, y_masked, mask, key) -> None:
+        """AOT-compile the guided-inpainting program for these arg shapes
+        without executing it. Compilation is process-local; multi-process
+        serving calls this before its first cross-process barrier so the
+        first collective (the result allgather) isn't stuck behind another
+        host's single-core compile (gloo's ~30 s rendezvous window)."""
+        smooth = self._smooth_mask_like(mask) if self.smooth else mask
+        self._jit_inpaint.lower(
+            self._sparams(), key, y_masked, mask, smooth).compile()
+
     def _smooth_mask_like(self, mask):
         """Hann-smoothed mask placed like ``mask``. The smoothing is
         row-independent, so on a multi-process mesh each host smooths only

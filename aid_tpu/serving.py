@@ -134,6 +134,18 @@ class InpaintingService:
                                                 lambda idx: arr[idx])
         return jax.device_put(arr, sh)
 
+    def precompile(self, seed: int = 0) -> None:
+        """Warm the compiled guided-Heun program for this service's window
+        shape without running it (production warmup; multi-process meshes
+        call this before their first barrier — see Sampler.compile_inpainting)."""
+        L = int(self.args.exp.audio_len)
+        xb = np.zeros((self.max_batch, L), np.float32)
+        mb = np.ones((self.max_batch, L), np.float32)
+        mb[:, L // 4: L // 2] = 0.0
+        self.sampler.compile_inpainting(
+            self._place_batch(xb), self._place_batch(mb),
+            jax.random.PRNGKey(seed))
+
     def _run_batch(self, xb: np.ndarray, mb: np.ndarray, key) -> np.ndarray:
         """One compiled guided-Heun call on a [max_batch, L] window batch."""
         y = self._place_batch((xb * mb).astype(np.float32))

@@ -448,23 +448,37 @@ class Trainer:
         audio, fs = next(self.dset)
         return np.asarray(audio, np.float32), np.asarray(fs, np.int64)
 
-    def train_step(self, audio, fs):
-        self.key, k = jax.random.split(self.key)
+    def _place_step_args(self, audio, fs):
+        """Shard a host batch onto the mesh exactly as train_step will."""
         if self.n_accum > 1:
-            # loader yields the flat global batch; micro-batches split here
-            # (reference trainer.py:259-266 accumulation loop semantics):
-            # [n_accum, B, T] sharded over dp on the B axis
             from jax.sharding import NamedSharding, PartitionSpec as P
             audio = np.asarray(audio).reshape(
                 self.n_accum, -1, np.asarray(audio).shape[-1])
             fs = np.asarray(fs).reshape(self.n_accum, -1)
             sh = NamedSharding(self.mesh, P(None, pmesh.DATA_AXIS))
             batch = jax.make_array_from_process_local_data(sh, audio)
-            fs_arr = jnp.asarray(fs)
         else:
             batch = pmesh.shard_batch(self.mesh, audio)
-            fs_arr = jnp.asarray(fs)
         rates = tuple(sorted({int(v) for v in np.asarray(fs).reshape(-1)}))
+        return batch, jnp.asarray(fs), rates
+
+    def compile_step(self, audio, fs) -> None:
+        """AOT-compile the jitted train step for this batch shape WITHOUT
+        executing it. Compilation is process-local (no collective traffic),
+        so multi-process launchers call this before their first cross-process
+        barrier: the first real collective then fires with every process
+        already compiled, and single-core compile skew can no longer blow
+        gloo's ~30 s first-contact rendezvous window (tests/test_multihost.py).
+        Does not advance the trainer's RNG stream."""
+        batch, fs_arr, rates = self._place_step_args(audio, fs)
+        k = jax.random.PRNGKey(0)  # shape/dtype only; lowering never runs it
+        self._jit_step.lower(self.state, batch, fs_arr, k, rates).compile()
+
+    def train_step(self, audio, fs):
+        self.key, k = jax.random.split(self.key)
+        # micro-batch split ([n_accum, B, T] dp-sharded on B) mirrors the
+        # reference trainer.py:259-266 accumulation loop semantics
+        batch, fs_arr, rates = self._place_step_args(audio, fs)
         self.state, metrics = self._jit_step(self.state, batch, fs_arr, k,
                                              rates)
         return metrics

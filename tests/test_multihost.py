@@ -61,13 +61,16 @@ assert B_local == 4, B_local
 full = np.random.default_rng(7).standard_normal((8, 1024)).astype(np.float32)
 audio = full[pid * 4:(pid + 1) * 4]
 fs = np.full((4,), 22050, np.int64)
-# gloo's first-contact rendezvous has a hard ~30 s window; align the
-# processes at a coordination-service barrier (long timeout) right before
-# each collective phase so single-core compile skew cannot blow it
+# gloo's first-contact rendezvous has a hard ~30 s window; two defenses:
+# (1) AOT-compile the step BEFORE the barrier — compilation is process-local,
+#     so all the single-core compile skew is absorbed by the barrier's 300 s
+#     coordination-service window instead of gloo's 30 s;
+# (2) a barrier right before each collective phase aligns the processes.
 def barrier(name):
     from jax._src import distributed as _dist
     _dist.global_state.client.wait_at_barrier(name, 300_000)
 
+trainer.compile_step(audio, fs)
 barrier("before_step")
 metrics = trainer.train_step(audio, fs)
 loss = float(np.asarray(jax.device_get(metrics["loss"])))
@@ -86,6 +89,7 @@ aud = np.random.default_rng(3).standard_normal(3 * 1024).astype(np.float32) * 0.
 msk = np.ones_like(aud)
 msk[500:540] = 0.0
 msk[2000:2040] = 0.0
+srv.precompile()  # process-local; hoists the big compile out of the window
 barrier("before_serving")
 restored = srv.inpaint(aud, msk, 22050)
 assert np.array_equal(restored[msk > 0.5], aud[msk > 0.5])
@@ -94,6 +98,7 @@ jax.distributed.shutdown()
 """
 
 
+@pytest.mark.slow
 def test_two_process_spmd_train_step(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
