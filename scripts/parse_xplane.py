@@ -29,6 +29,7 @@ def load(path):
 def main():
     xs = load(sys.argv[1] if len(sys.argv) > 1 else "/tmp/aid_trace")
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    focus_cat = sys.argv[3] if len(sys.argv) > 3 else ""
 
     for plane in xs.planes:
         if "TPU" not in plane.name:
@@ -38,6 +39,7 @@ def main():
         by_cat = collections.Counter()
         by_src = collections.Counter()
         by_srcline = collections.Counter()
+        by_focus = collections.Counter()
         total = 0.0
         for line in plane.lines:
             if line.name != "XLA Ops":
@@ -75,6 +77,8 @@ def main():
                 sl = stats.get("source", "")
                 if sl:
                     by_srcline[str(sl)] += dur
+                if cat == focus_cat:
+                    by_focus[f"{opname[:110]}"] += dur
         if total == 0:
             continue
         print(f"== plane {plane.name}: total XLA-op time {total:.2f} ms")
@@ -87,6 +91,10 @@ def main():
         print("-- by source line --")
         for n, t in by_srcline.most_common(15):
             print(f"  {t:9.3f} ms {100*t/total:5.1f}%  {n}")
+        if focus_cat:
+            print(f"-- ops in category {focus_cat!r} --")
+            for n, t in by_focus.most_common(top_n):
+                print(f"  {t:9.3f} ms {100*t/total:5.1f}%  {n}")
 
 
 if __name__ == "__main__":
