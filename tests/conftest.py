@@ -31,6 +31,15 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.devices()
 
 
+def pytest_collection_modifyitems(items):
+    # Tier the suite: anything not explicitly ``slow`` is ``quick``, so
+    # ``pytest -m quick`` gives a fast green/red and ``-m "not slow"`` works
+    # without every test author opting in.
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
