@@ -481,6 +481,96 @@ def _regroup_transition(x: jnp.ndarray, from_d: int, to_d: int,
     return z.reshape(B * to_d, Fd // r, T, C)
 
 
+def _fold_enter(x: jnp.ndarray, from_d: int, to_d: int, B: int) -> jnp.ndarray:
+    """Unfolded layout-from_d [B*from_d, F/from_d, T, C] -> FOLDED layout-to_d
+    [B*to_d, T, (F/to_d)*C] in one transpose.
+
+    Folded layout-d holds each residue class's remaining freq rows
+    (m = f // d, slot-major) in the LANE dim next to the channels. With
+    Fz = F/d <= 4 rows left, the 5-tap freq conv there is mostly SAME
+    padding (60% wasted MACs at Fz=2) and XLA re-lays the tensor around
+    every pad/slice; folding removes the freq axis entirely — the layer
+    becomes a 3-tap TIME conv with a block-banded [3, Fz*C, Fz*N] kernel
+    (see _folded_band_weights), exactly equal to the dilated conv."""
+    Bd, Fm, T, C = x.shape
+    r = to_d // from_d
+    Fz2 = Fm // r
+    # f = from_d*m + c, m = m2*r + j  =>  class2 = from_d*j + c, slot m2
+    z = x.reshape(B, from_d, Fz2, r, T, C).transpose(0, 3, 1, 4, 2, 5)
+    return z.reshape(B * to_d, T, Fz2 * C)
+
+
+def _fold_split(x: jnp.ndarray, from_d: int, to_d: int, B: int,
+                Fz_from: int) -> jnp.ndarray:
+    """Folded layout-d -> folded layout-(d*r), one transpose."""
+    Bd, T, FC = x.shape
+    C = FC // Fz_from
+    r = to_d // from_d
+    Fz2 = Fz_from // r
+    z = x.reshape(B, from_d, T, Fz2, r, C).transpose(0, 4, 1, 2, 3, 5)
+    return z.reshape(B * to_d, T, Fz2 * C)
+
+
+def _fold_exit(x: jnp.ndarray, d: int, B: int, Fz: int) -> jnp.ndarray:
+    """Folded layout-d [B*d, T, Fz*C] -> plain [B, F, T, C], one transpose."""
+    Bd, T, FC = x.shape
+    C = FC // Fz
+    z = x.reshape(B, d, T, Fz, C).transpose(0, 3, 1, 2, 4)
+    return z.reshape(B, Fz * d, T, C)
+
+
+def _chain_transition(x: jnp.ndarray, from_d: int, from_fold: bool,
+                      to_d: int, to_fold: bool, B: int, F: int) -> jnp.ndarray:
+    """Move between any two chain-stack layouts (regrouped / folded)."""
+    if not from_fold and not to_fold:
+        return _regroup_transition(x, from_d, to_d, B)
+    if not from_fold and to_fold:
+        return _fold_enter(x, from_d, to_d, B)
+    if from_fold and to_fold:
+        return _fold_split(x, from_d, to_d, B, F // from_d)
+    y = _fold_exit(x, from_d, B, F // from_d)
+    return _regroup_transition(y, 1, to_d, B)
+
+
+def _folded_band_weights(w: jnp.ndarray, Fz: int) -> jnp.ndarray:
+    """(kh,kw,C,N) freq-conv kernel -> block-banded (kw, Fz*C, Fz*N) TIME-conv
+    kernel on the folded layout: output slot fo gathers input slots fi with
+    |fi-fo| <= kh//2 through freq tap k = fi-fo+kh//2 — exactly the SAME-padded
+    plain conv over the Fz remaining rows (band structure encodes the edge
+    clipping, so no pad/slice ops and no zero-tap MACs beyond the band)."""
+    kh, kw, C, N = w.shape
+    half = kh // 2
+    wf = jnp.zeros((kw, Fz * C, Fz * N), w.dtype)
+    for fo in range(Fz):
+        for fi in range(max(0, fo - half), min(Fz, fo + half + 1)):
+            wf = wf.at[:, fi * C:(fi + 1) * C, fo * N:(fo + 1) * N].set(
+                w[fi - fo + half])
+    return wf
+
+
+def _norm_adaln_scale_folded(h, gain, aff, B: int, d: int, Fz: int,
+                             eps: float = 1e-7, groups: int = 8):
+    """_norm_adaln_scale on a folded tensor [B*d, T, Fz*C]: the group std
+    reduces over all d class-batches, T, and all Fz lane slots of each
+    original (batch, channel-group) — the same element sets as the plain
+    layout — and the multiplier tiles across slots / repeats across classes."""
+    Bd, T, FC = h.shape
+    C = FC // Fz
+    g = min(groups, C)
+    hf = h.reshape(B, d, T, Fz, g, C // g)
+    n = d * T * Fz * (C // g)
+    m1 = jnp.mean(hf, axis=(1, 2, 3, 5), dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(hf), axis=(1, 2, 3, 5), dtype=jnp.float32)
+    var = jnp.maximum(m2 - m1 * m1, 0.0) * (n / (n - 1.0))
+    std = jnp.sqrt(var)                                           # [B, G]
+    mult = (gain.astype(jnp.float32).reshape(1, g, C // g)
+            / (std[:, :, None] + eps)).reshape(B, C)
+    mult = mult * (1.0 + aff.astype(jnp.float32))
+    mult = jnp.tile(mult, (1, Fz))                                # [B, Fz*C]
+    mult = jnp.repeat(mult, d, axis=0)                            # [B*d, ..]
+    return h * mult[:, None, :].astype(h.dtype)
+
+
 def _norm_adaln_scale_regrouped(h, gain, aff, B: int, d: int,
                                 eps: float = 1e-7, groups: int = 8):
     """_norm_adaln_scale on a residue-regrouped tensor [B*d, F/d, T, C]:
@@ -606,7 +696,7 @@ class AdaLNResBlock(nn.Module):
                        and not pack_stack and self.use_norm
                        and self.num_dils >= 4)
         Bsz, F_entry = h.shape[0], h.shape[1]
-        cur_d = 1
+        cur_d, cur_fold = 1, False
         if pack_stack:
             h = _pack_pairs(h)
 
@@ -615,17 +705,41 @@ class AdaLNResBlock(nn.Module):
         # regrouped plain convs beat direct rhs_dilation convs at EVERY d
         # once the per-layer regroup copies are chained away.
         chain_min_d = int(_os.environ.get("AID_TPU_CHAIN_MIN_D", "2"))
+        # deepest chain levels fold the Fz = F/d remaining freq rows into the
+        # lane dim when Fz <= this (AID_TPU_CHAIN_FOLD_MAX, 0 disables): the
+        # 5-tap freq conv there is mostly SAME padding, and the folded form is
+        # an exact 3-tap time conv with a block-banded kernel — fewer MACs,
+        # no pad/slice, no relayout copies.
+        fold_max = int(_os.environ.get("AID_TPU_CHAIN_FOLD_MAX", "4"))
         for i in range(self.num_dils):
             if chain_stack:
                 d_i = 2 ** i
                 target = d_i if (d_i >= chain_min_d
                                  and F_entry % d_i == 0) else 1
-                if target != cur_d:
-                    h = _regroup_transition(h, cur_d, target, Bsz)
-                    cur_d = target
+                tgt_fold = (target > 1 and not q8
+                            and F_entry // target <= fold_max)
+                if _os.environ.get("AID_TPU_DEBUG_STACK"):
+                    print(f"[stack] {self.name} layer {i}: d={target} "
+                          f"fold={tgt_fold} F={F_entry} C={N}", flush=True)
+                if (target, tgt_fold) != (cur_d, cur_fold):
+                    h = _chain_transition(h, cur_d, cur_fold, target,
+                                          tgt_fold, Bsz, F_entry)
+                    cur_d, cur_fold = target, tgt_fold
             h0 = h
             gamma = Dense(N, dtype=self.dtype, name=f"affine_{i}")(emb)
             scale = Dense(N, scale=1e-7, dtype=self.dtype, name=f"gate_{i}")(emb)
+            if chain_stack and cur_fold:
+                Fz = F_entry // cur_d
+                ng = NormGain(N, name=f"norm_{i}")()
+                g = _gelu(_norm_adaln_scale_folded(h, ng, gamma, Bsz,
+                                                   cur_d, Fz), self.gelu)
+                wk = _as_dense(ConvParam(N, N, name=f"conv_{i}")(), self.dtype)
+                y = jax.lax.conv_general_dilated(
+                    g, _folded_band_weights(wk, Fz), (1,), "SAME",
+                    dimension_numbers=("NWC", "WIO", "NWC"))
+                sc = jnp.repeat(jnp.tile(scale, (1, Fz)), cur_d, axis=0)
+                h = (h0 + y * sc[:, None, :]) / math.sqrt(2.0)
+                continue
             if chain_stack and cur_d > 1:
                 ng = NormGain(N, name=f"norm_{i}")()
                 g = _gelu(
@@ -697,8 +811,8 @@ class AdaLNResBlock(nn.Module):
 
         if pack_stack:
             h = _unpack_pairs(h)
-        if chain_stack and cur_d > 1:
-            h = _regroup_transition(h, cur_d, 1, Bsz)
+        if chain_stack and (cur_d > 1 or cur_fold):
+            h = _chain_transition(h, cur_d, cur_fold, 1, False, Bsz, F_entry)
 
         if self.proj_place == "after" and N != self.dim_out:
             h = Conv2dFT(self.dim_out, (1, 1), quant=self.quant,

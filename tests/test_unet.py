@@ -260,3 +260,37 @@ def test_chain_regroup_matches_default():
                          pack_stack=True, chain_regroup=True)
     y2 = np.asarray(both.apply(params, x, emb))
     np.testing.assert_allclose(y2, y0, atol=2e-5)
+
+
+def test_chain_fold_matches_default(monkeypatch):
+    """The folded deep-chain formulation (Fz = F/d freq rows folded into the
+    lane dim, 3-tap time conv with a block-banded kernel) is numerically
+    identical to the per-layer dilated path — including odd Fz (band
+    clipping), a mid-stack fold -> unfold reset when F % d != 0, and the
+    guidance gradient through the folded stack."""
+    import numpy as np
+    from aid_tpu.models.unet_cqt import AdaLNResBlock
+    rng = np.random.default_rng(1)
+    # F=24: d=8 folds at Fz=3 (odd band), d=16 does not divide 24 -> the
+    # stack must transition folded-8 -> unfolded-1 mid-stack for layer i=4.
+    x = jnp.asarray(rng.standard_normal((2, 24, 20, 16)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((2, 8)), jnp.float32)
+    ref_block = AdaLNResBlock(dim_out=16, num_dils=5, use_norm=True, fdim=24)
+    params = ref_block.init(jax.random.PRNGKey(0), x, emb)
+    y0 = np.asarray(ref_block.apply(params, x, emb))
+    chained = AdaLNResBlock(dim_out=16, num_dils=5, use_norm=True, fdim=24,
+                            chain_regroup=True)
+    y1 = np.asarray(chained.apply(params, x, emb))
+    np.testing.assert_allclose(y1, y0, atol=2e-5)
+
+    # gradient (the sampler's reconstruction guidance backprops through this)
+    def loss(fn):
+        return lambda xx: jnp.sum(jnp.square(fn.apply(params, xx, emb)))
+    g_ref = np.asarray(jax.grad(loss(ref_block))(x))
+    g_chn = np.asarray(jax.grad(loss(chained))(x))
+    np.testing.assert_allclose(g_chn, g_ref, atol=2e-4)
+
+    # kill switch: AID_TPU_CHAIN_FOLD_MAX=0 falls back to the regroup path
+    monkeypatch.setenv("AID_TPU_CHAIN_FOLD_MAX", "0")
+    y2 = np.asarray(chained.apply(params, x, emb))
+    np.testing.assert_allclose(y2, y0, atol=2e-5)
