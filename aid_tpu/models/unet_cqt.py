@@ -375,9 +375,9 @@ class NormGain(nn.Module):
 
 
 class ConvParam(nn.Module):
-    """Owner of a conv kernel param when the fused megakernel path bypasses
-    the Conv2dFT module (same param path: <name>/kernel — checkpoint-identical
-    with Conv2dFT's)."""
+    """Owner of a conv kernel param for stack formulations that consume the
+    raw kernel directly (packed/folded/banded variants; same param path:
+    <name>/kernel — checkpoint-identical with Conv2dFT's)."""
     features: int
     in_features: int
     kernel: Tuple[int, int] = (5, 3)
@@ -633,7 +633,6 @@ class AdaLNResBlock(nn.Module):
     attention: Optional[dict] = None
     fdim: int = 0
     use_pallas: bool = False     # fused norm+adaLN+gelu kernel (ops.pallas)
-    use_megakernel: bool = False  # fully fused adaLN+conv layer (ops.pallas)
     conv_foldf: bool = False     # freq-pair lane packing for C<=64 convs
     pack_stack: bool = False     # persistent pair-packed dilated stack (C<=64)
     chain_regroup: bool = False  # chained residue regroup for the d>=8 tail
@@ -677,7 +676,7 @@ class AdaLNResBlock(nn.Module):
         stack_env = _os.environ.get("AID_TPU_STACK_MODE", "")
         modes = set(stack_env.split(",")) if stack_env else None
         plain_ok = (self.kernel == (5, 3) and self.num_dils > 0
-                    and not self.use_megakernel and not self.use_pallas)
+                    and not self.use_pallas)
 
         def want(name, flag):
             return (name in modes) if modes is not None else flag
@@ -765,31 +764,6 @@ class AdaLNResBlock(nn.Module):
                                    (d // 2, 1), q8)
                 scale2 = jnp.concatenate([scale, scale], axis=-1)
                 h = (h0 + y * scale2[:, None, None, :]) / math.sqrt(2.0)
-                continue
-            from aid_tpu.ops.pallas.conv_block import (fused_adaln_conv_layer,
-                                                       supported_channels)
-            if (self.use_megakernel and self.kernel == (5, 3)
-                    and supported_channels(N)):
-                # ONE Pallas pass: norm-scale + adaLN + gelu + dilated conv +
-                # gate/residual epilogue (aid_tpu.ops.pallas.conv_block). The
-                # group-std reduction stays in XLA (needs the global view).
-                # Unsupported channel counts (96: neither C nor 2C is a lane
-                # multiple) keep the XLA path below.
-                B, F, T, _ = h.shape
-                gm = gamma.astype(jnp.float32)
-                if self.use_norm:
-                    ng = NormGain(N, name=f"norm_{i}")()
-                    gsz = min(8, N)
-                    std = _group_std_f32(h, gsz)                    # [B, G]
-                    mult = (ng.astype(jnp.float32).reshape(1, gsz, N // gsz)
-                            / (std[:, :, None] + 1e-7)).reshape(B, N)
-                    mult = mult * (1.0 + gm)
-                else:
-                    mult = jnp.broadcast_to(1.0 + gm, (B, N))
-                wk = _as_dense(ConvParam(N, N, name=f"conv_{i}")(),
-                               jnp.float32)
-                h = fused_adaln_conv_layer(
-                    h, mult, scale.astype(jnp.float32), wk, 2 ** i)
                 continue
             if self.use_pallas and self.use_norm:
                 from aid_tpu.ops.pallas.fused_adaln import (group_std,
@@ -901,7 +875,6 @@ class UnetCQT(nn.Module):
     num_bottleneck_layers: int = 1
     remat: bool = False   # rematerialize each res block (trade FLOPs for HBM
     use_pallas: bool = False  # fused norm+adaLN+gelu pallas kernel
-    use_megakernel: bool = False  # fully fused adaLN+conv pallas layer
     conv_foldf: bool = False  # freq-pair lane packing for C<=64 convs
     pack_stack: bool = False  # persistent pair-packed stacks at C<=64 levels
     chain_regroup: bool = False  # chained d>=8 residue regroup in the stacks
@@ -916,7 +889,7 @@ class UnetCQT(nn.Module):
         import functools as _ft
         Block = _ft.partial(
             nn.remat(AdaLNResBlock) if self.remat else AdaLNResBlock,
-            use_pallas=self.use_pallas, use_megakernel=self.use_megakernel,
+            use_pallas=self.use_pallas,
             conv_foldf=self.conv_foldf, pack_stack=self.pack_stack,
             chain_regroup=self.chain_regroup, gelu=self.gelu,
             quant=self.quant)
@@ -1040,7 +1013,6 @@ def build_unet(args, device=None) -> UnetCQT:
         num_bottleneck_layers=getattr(net, "num_bottleneck_layers", 1),
         remat=bool(net.get("remat", False)),
         use_pallas=bool(net.get("use_pallas_fused", False)),
-        use_megakernel=bool(net.get("use_conv_megakernel", False)),
         conv_foldf=bool(net.get("conv_foldf", False)),
         pack_stack=bool(net.get("conv_pack_stack", False)),
         chain_regroup=bool(net.get("conv_chain_regroup", False)),

@@ -151,9 +151,12 @@ class Sampler:
         without executing it. Compilation is process-local; multi-process
         serving calls this before its first cross-process barrier so the
         first collective (the result allgather) isn't stuck behind another
-        host's single-core compile (gloo's ~30 s rendezvous window)."""
+        host's single-core compile (gloo's ~30 s rendezvous window).
+
+        Returns the compiled executable (its ``memory_analysis()`` drives
+        ``InpaintingService.autotune_max_batch``)."""
         smooth = self._smooth_mask_like(mask) if self.smooth else mask
-        self._jit_inpaint.lower(
+        return self._jit_inpaint.lower(
             self._sparams(), key, y_masked, mask, smooth).compile()
 
     def _smooth_mask_like(self, mask):

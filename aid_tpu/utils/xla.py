@@ -6,8 +6,7 @@ forwarded when passed per-compile via ``jax.jit(compiler_options=...)``.
 
 Knobs (env vars, all optional):
   AID_TPU_SCOPED_VMEM_KIB   raise the scoped-VMEM limit (default libtpu 16384;
-                            more lets XLA build bigger fusions and lets the
-                            Pallas megakernel use bigger blocks)
+                            more lets XLA build bigger fusions)
 """
 from __future__ import annotations
 
