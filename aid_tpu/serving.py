@@ -146,6 +146,61 @@ class InpaintingService:
             self._place_batch(xb), self._place_batch(mb),
             jax.random.PRNGKey(seed))
 
+    def _compiled_for_batch(self, n: int, seed: int = 0):
+        L = int(self.args.exp.audio_len)
+        xb = np.zeros((n, L), np.float32)
+        mb = np.ones((n, L), np.float32)
+        mb[:, L // 4: L // 2] = 0.0
+        return self.sampler.compile_inpainting(
+            self._place_batch(xb), self._place_batch(mb),
+            jax.random.PRNGKey(seed))
+
+    def autotune_max_batch(self, limit_bytes: Optional[int] = None,
+                           margin: float = 0.85, cap: int = 16) -> int:
+        """Fit ``max_batch`` to device memory from AOT memory analysis.
+
+        Compiles the guided-Heun program at window batch 1 and 2 (no
+        execution — the compiles land in the persistent cache) and reads
+        each executable's ``memory_analysis()``: the per-row footprint is
+        the difference (the guidance backward's activation stash scales
+        linearly with rows; weights/constants do not). Picks the largest
+        batch whose extrapolated footprint stays under ``margin *
+        limit_bytes`` and CAPS ``self.max_batch`` with it.
+
+        Use when deploying a model/chip pair with no measured throughput
+        optimum (``network.serving_max_batch``): fitting HBM is necessary
+        for any batch to run at all; the throughput optimum may be lower
+        (on v5e the 22k flagship fits batch >4 but peaks at 2 — see
+        PARITY.md batch sweeps), so this never RAISES a configured optimum.
+        ``limit_bytes`` defaults to the device's reported memory limit.
+        """
+        dev = jax.devices()[0]
+        if limit_bytes is None:
+            stats = getattr(dev, "memory_stats", lambda: None)() or {}
+            limit_bytes = int(stats.get("bytes_limit", 0))
+            if not limit_bytes:
+                raise ValueError(
+                    f"device {dev} reports no memory limit; pass limit_bytes")
+
+        def footprint(n):
+            ma = self._compiled_for_batch(n).memory_analysis()
+            return (int(ma.argument_size_in_bytes)
+                    + int(ma.output_size_in_bytes)
+                    + int(ma.temp_size_in_bytes))
+
+        f1, f2 = footprint(1), footprint(2)
+        per_row = max(f2 - f1, 1)
+        fixed = max(f1 - per_row, 0)
+        budget = margin * limit_bytes
+        fit = int((budget - fixed) // per_row)
+        if fit < 1:
+            raise RuntimeError(
+                f"guided sampling does not fit: fixed {fixed/2**30:.2f} GiB"
+                f" + {per_row/2**30:.2f} GiB/row vs budget "
+                f"{budget/2**30:.2f} GiB")
+        self.max_batch = max(1, min(self.max_batch, min(fit, cap)))
+        return min(fit, cap)
+
     def _run_batch(self, xb: np.ndarray, mb: np.ndarray, key) -> np.ndarray:
         """One compiled guided-Heun call on a [max_batch, L] window batch."""
         y = self._place_batch((xb * mb).astype(np.float32))

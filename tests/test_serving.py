@@ -280,3 +280,22 @@ def test_sharded_service_with_int8_quant():
     assert np.isfinite(out).all()
     np.testing.assert_array_equal(out[mask > 0.5], audio[mask > 0.5])
     np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_autotune_max_batch(service):
+    """HBM-fit autotune: AOT memory analysis at batch 1/2 extrapolates the
+    per-row footprint; the chosen batch is monotone in the limit, never
+    raises the configured optimum, and a hopeless limit raises."""
+    before = service.max_batch
+    # generous limit: the fit cap must be >= the configured 2 and must not
+    # RAISE max_batch above the configured throughput optimum
+    fit = service.autotune_max_batch(limit_bytes=1 << 34)  # 16 GiB
+    assert fit >= 2
+    assert service.max_batch == before
+    # tiny limit: must refuse rather than return a batch that cannot run
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        service.autotune_max_batch(limit_bytes=1 << 20)  # 1 MiB
+    # monotonicity in the limit
+    assert service.autotune_max_batch(limit_bytes=1 << 35) >= fit
+    assert service.max_batch == before
