@@ -710,16 +710,33 @@ class AdaLNResBlock(nn.Module):
         # an exact 3-tap time conv with a block-banded kernel — fewer MACs,
         # no pad/slice, no relayout copies.
         fold_max = int(_os.environ.get("AID_TPU_CHAIN_FOLD_MAX", "4"))
+        # AID_TPU_CHAIN_STRIDE=k: transition layouts only every k dilation-
+        # doublings and run the in-between layers as LOCAL dilated convs
+        # (dilation d/layout <= 2^(k-1)) in the held layout — trades
+        # transition copies for dilated-conv lowering. Swept on the 22k
+        # flagship (bench.py): 1 -> 2.03x, 2 -> 2.058x, 3 -> 1.922x; local
+        # dilation 2 is cheaper than a layout transition, 4 is not. Exact
+        # at every k (test_chain_stride_matches_default).
+        chain_stride = int(_os.environ.get("AID_TPU_CHAIN_STRIDE", "2"))
+        local_d = 1
         for i in range(self.num_dils):
             if chain_stack:
                 d_i = 2 ** i
-                target = d_i if (d_i >= chain_min_d
-                                 and F_entry % d_i == 0) else 1
-                tgt_fold = (target > 1 and not q8
+                if d_i >= chain_min_d and F_entry % d_i == 0:
+                    if chain_stride > 1:
+                        target = min(max(2 ** (chain_stride * (i // chain_stride)),
+                                         chain_min_d), d_i)
+                    else:
+                        target = d_i
+                else:
+                    target = 1
+                local_d = d_i // target if target > 1 else 1
+                tgt_fold = (target > 1 and not q8 and local_d == 1
                             and F_entry // target <= fold_max)
                 if _os.environ.get("AID_TPU_DEBUG_STACK"):
                     print(f"[stack] {self.name} layer {i}: d={target} "
-                          f"fold={tgt_fold} F={F_entry} C={N}", flush=True)
+                          f"local={local_d} fold={tgt_fold} F={F_entry} "
+                          f"C={N}", flush=True)
                 if (target, tgt_fold) != (cur_d, cur_fold):
                     h = _chain_transition(h, cur_d, cur_fold, target,
                                           tgt_fold, Bsz, F_entry)
@@ -748,7 +765,7 @@ class AdaLNResBlock(nn.Module):
                 from aid_tpu.ops.qconv import QWeight as _QW
                 if not (q8 and isinstance(wk, _QW)):
                     wk = _as_dense(wk, self.dtype)
-                y = _conv_same(g, wk, (1, 1), q8)
+                y = _conv_same(g, wk, (local_d, 1), q8)
                 scale_r = jnp.repeat(scale, cur_d, axis=0)
                 h = (h0 + y * scale_r[:, None, None, :]) / math.sqrt(2.0)
                 continue

@@ -174,6 +174,10 @@ class InpaintingService:
         PARITY.md batch sweeps), so this never RAISES a configured optimum.
         ``limit_bytes`` defaults to the device's reported memory limit.
         """
+        if self.mesh is not None:
+            raise RuntimeError(
+                "autotune_max_batch probes single-device footprints; call it "
+                "BEFORE shard() (the dp row count then scales with the mesh)")
         dev = jax.devices()[0]
         if limit_bytes is None:
             stats = getattr(dev, "memory_stats", lambda: None)() or {}

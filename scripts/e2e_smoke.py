@@ -35,7 +35,7 @@ def main():
     from aid_tpu import setup as asetup
     from aid_tpu.utils.config import compose
 
-    L = 16384
+    L = int(os.environ.get("SMOKE_L", "16384"))  # CI gate uses 8192 (faster)
     fs = 22050
     its = int(os.environ.get("SMOKE_ITS", "400"))
     args = compose(overrides=[
@@ -51,7 +51,9 @@ def main():
         "network.Ns=[16,24,24,32,32]",
         "network.num_dils=[1,2,2,3,3]",
         "network.attention_layers=[0,0,0,1,1,1]",
-        "network.compute_dtype=bfloat16",
+        # bf16 on TPU; the CPU CI gate passes SMOKE_DTYPE=float32 (bf16 is
+        # software-emulated on CPU — ~10x slower, same learning signal)
+        f"network.compute_dtype={os.environ.get('SMOKE_DTYPE', 'bfloat16')}",
         "tester.T=25",
         "tester.order=2",
         "tester.posterior_sampling.xi=0.25",

@@ -23,6 +23,7 @@ def test_e2e_smoke_quality_gate(tmp_path):
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
+        "SMOKE_DTYPE": "float32",  # bf16 is software-emulated on CPU
         "SMOKE_ITS": "150",
         # CI operating point, calibrated on the 150-it CPU run (see
         # scripts/e2e_smoke.py header): training must lift gap SNR by

@@ -294,3 +294,28 @@ def test_chain_fold_matches_default(monkeypatch):
     monkeypatch.setenv("AID_TPU_CHAIN_FOLD_MAX", "0")
     y2 = np.asarray(chained.apply(params, x, emb))
     np.testing.assert_allclose(y2, y0, atol=2e-5)
+
+
+@pytest.mark.parametrize("stride", [2, 3])
+def test_chain_stride_matches_default(monkeypatch, stride):
+    """AID_TPU_CHAIN_STRIDE=k (hold a regrouped layout for k dilation-
+    doublings, local dilated convs in between) is numerically identical to
+    the per-layer transition path."""
+    import numpy as np
+    from aid_tpu.models.unet_cqt import AdaLNResBlock
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 32, 24, 16)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((2, 8)), jnp.float32)
+    ref_block = AdaLNResBlock(dim_out=16, num_dils=5, use_norm=True, fdim=32)
+    params = ref_block.init(jax.random.PRNGKey(0), x, emb)
+    y0 = np.asarray(ref_block.apply(params, x, emb))
+    chained = AdaLNResBlock(dim_out=16, num_dils=5, use_norm=True, fdim=32,
+                            chain_regroup=True)
+    monkeypatch.setenv("AID_TPU_CHAIN_STRIDE", str(stride))
+    y1 = np.asarray(chained.apply(params, x, emb))
+    np.testing.assert_allclose(y1, y0, atol=2e-5)
+    g0 = np.asarray(jax.grad(lambda xx: jnp.sum(jnp.square(
+        ref_block.apply(params, xx, emb))))(x))
+    g1 = np.asarray(jax.grad(lambda xx: jnp.sum(jnp.square(
+        chained.apply(params, xx, emb))))(x))
+    np.testing.assert_allclose(g1, g0, atol=2e-4)
