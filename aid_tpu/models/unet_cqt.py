@@ -718,23 +718,24 @@ class AdaLNResBlock(nn.Module):
         # dilation 2 is cheaper than a layout transition, 4 is not. Exact
         # at every k (test_chain_stride_matches_default).
         chain_stride = int(_os.environ.get("AID_TPU_CHAIN_STRIDE", "2"))
-        local_d, held = 1, 0
+        local_d = 1
         for i in range(self.num_dils):
             if chain_stack:
                 d_i = 2 ** i
                 if d_i >= chain_min_d and F_entry % d_i == 0:
-                    # greedy runs: transition at the first regroupable layer,
-                    # then hold that layout for the next stride-1 layers as
-                    # local dilations (phases the groups as {2,4},{8,16},
-                    # {32,64} — one fewer transition than aligning to even i)
-                    if (chain_stride > 1 and cur_d > 1 and not cur_fold
-                            and held < chain_stride):
-                        target = cur_d
-                        held += 1
+                    # layouts aligned to even i ({2},{4,8},{16,32},{64}).
+                    # The greedy phasing ({2,4},{8,16},{32,64} — one fewer
+                    # transition, one more local conv) was MEASURED SLOWER
+                    # (1.923x vs 2.058x): its local-2 convs sit in
+                    # shallower layouts with more freq rows, where the
+                    # dilated footprint is cache-hostile again.
+                    if chain_stride > 1:
+                        target = min(max(2 ** (chain_stride * (i // chain_stride)),
+                                         chain_min_d), d_i)
                     else:
-                        target, held = d_i, 1
+                        target = d_i
                 else:
-                    target, held = 1, 0
+                    target = 1
                 local_d = d_i // target if target > 1 else 1
                 tgt_fold = (target > 1 and not q8 and local_d == 1
                             and F_entry // target <= fold_max)
