@@ -636,6 +636,7 @@ class AdaLNResBlock(nn.Module):
     conv_foldf: bool = False     # freq-pair lane packing for C<=64 convs
     pack_stack: bool = False     # persistent pair-packed dilated stack (C<=64)
     chain_regroup: bool = False  # chained residue regroup for the d>=8 tail
+    chain_stride: int = 2        # layout transitions every k dilation-doublings
     gelu: str = "erf"            # erf (reference-exact) | tanh | sigmoid
     quant: str = "none"          # int8: dynamic-quantized MXU serving path
     dtype: Any = jnp.float32
@@ -717,7 +718,8 @@ class AdaLNResBlock(nn.Module):
         # flagship (bench.py): 1 -> 2.03x, 2 -> 2.058x, 3 -> 1.922x; local
         # dilation 2 is cheaper than a layout transition, 4 is not. Exact
         # at every k (test_chain_stride_matches_default).
-        chain_stride = int(_os.environ.get("AID_TPU_CHAIN_STRIDE", "2"))
+        chain_stride = int(_os.environ.get("AID_TPU_CHAIN_STRIDE",
+                                           str(self.chain_stride)))
         local_d = 1
         for i in range(self.num_dils):
             if chain_stack:
@@ -901,6 +903,7 @@ class UnetCQT(nn.Module):
     conv_foldf: bool = False  # freq-pair lane packing for C<=64 convs
     pack_stack: bool = False  # persistent pair-packed stacks at C<=64 levels
     chain_regroup: bool = False  # chained d>=8 residue regroup in the stacks
+    chain_stride: int = 2        # per-model layout-transition stride
     gelu: str = "erf"         # erf (reference-exact) | tanh | sigmoid
     quant: str = "none"       # int8: dynamic-quantized MXU serving path
     dtype: Any = jnp.float32  # in guidance backprops / large-batch training)
@@ -914,7 +917,8 @@ class UnetCQT(nn.Module):
             nn.remat(AdaLNResBlock) if self.remat else AdaLNResBlock,
             use_pallas=self.use_pallas,
             conv_foldf=self.conv_foldf, pack_stack=self.pack_stack,
-            chain_regroup=self.chain_regroup, gelu=self.gelu,
+            chain_regroup=self.chain_regroup,
+            chain_stride=self.chain_stride, gelu=self.gelu,
             quant=self.quant)
         emb = RFFEmbedding(self.emb_dim, dtype=self.dtype, name="embedding")(cnoise)
 
@@ -1039,6 +1043,7 @@ def build_unet(args, device=None) -> UnetCQT:
         conv_foldf=bool(net.get("conv_foldf", False)),
         pack_stack=bool(net.get("conv_pack_stack", False)),
         chain_regroup=bool(net.get("conv_chain_regroup", False)),
+        chain_stride=int(net.get("chain_stride", 2)),
         gelu=str(net.get("gelu", "erf")),
         quant=str(net.get("quant", "none")),
         dtype=dtype,
