@@ -183,6 +183,16 @@ class InpaintingService:
             stats = getattr(dev, "memory_stats", lambda: None)() or {}
             limit_bytes = int(stats.get("bytes_limit", 0))
             if not limit_bytes:
+                # some PJRT plugins (e.g. the axon tunnel) report no memory
+                # stats; fall back to the known HBM of the device kind
+                kind = str(getattr(dev, "device_kind", ""))
+                for prefix, gib in (("TPU v5 lite", 15.75), ("TPU v5e", 15.75),
+                                    ("TPU v4", 31.75), ("TPU v5p", 95.0),
+                                    ("TPU v6", 31.25)):
+                    if kind.startswith(prefix):
+                        limit_bytes = int(gib * 2 ** 30)
+                        break
+            if not limit_bytes:
                 raise ValueError(
                     f"device {dev} reports no memory limit; pass limit_bytes")
 
