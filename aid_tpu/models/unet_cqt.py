@@ -720,21 +720,6 @@ class AdaLNResBlock(nn.Module):
         # at every k (test_chain_stride_matches_default).
         chain_stride = int(_os.environ.get("AID_TPU_CHAIN_STRIDE",
                                            str(self.chain_stride)))
-        # AID_TPU_EPI_FUSE=1: defer each layer's gate/residual epilogue
-        # (h0 + y*scale)/sqrt(2) and emit it fused with the FOLLOWING layout
-        # transition as one Pallas gather pass (ops/pallas/epilogue_permute)
-        # — saves a full HBM read+write of the level tensor per transition
-        # site. Exact incl. gradients (structured-inverse VJP).
-        epi_fuse = (chain_stack and not q8
-                    and _os.environ.get("AID_TPU_EPI_FUSE", "0") == "1")
-        if epi_fuse:
-            from aid_tpu.ops.pallas.epilogue_permute import epilogue_transition
-        pend = None  # deferred (h0, y, scale_rows), always in an UNFOLDED layout
-
-        def _epi_flush(p):
-            h0p, yp, scp = p
-            return (h0p + yp * scp[:, None, None, :]) / math.sqrt(2.0)
-
         local_d = 1
         for i in range(self.num_dils):
             if chain_stack:
@@ -761,20 +746,9 @@ class AdaLNResBlock(nn.Module):
                           f"local={local_d} fold={tgt_fold} F={F_entry} "
                           f"C={N}", flush=True)
                 if (target, tgt_fold) != (cur_d, cur_fold):
-                    if pend is not None and not cur_fold and not tgt_fold:
-                        h = epilogue_transition(pend[0], pend[1], pend[2],
-                                                cur_d, target, Bsz, F_entry)
-                        pend = None
-                    else:
-                        if pend is not None:
-                            h = _epi_flush(pend)
-                            pend = None
-                        h = _chain_transition(h, cur_d, cur_fold, target,
-                                              tgt_fold, Bsz, F_entry)
+                    h = _chain_transition(h, cur_d, cur_fold, target,
+                                          tgt_fold, Bsz, F_entry)
                     cur_d, cur_fold = target, tgt_fold
-            if pend is not None:
-                h = _epi_flush(pend)
-                pend = None
             h0 = h
             gamma = Dense(N, dtype=self.dtype, name=f"affine_{i}")(emb)
             scale = Dense(N, scale=1e-7, dtype=self.dtype, name=f"gate_{i}")(emb)
@@ -801,9 +775,6 @@ class AdaLNResBlock(nn.Module):
                     wk = _as_dense(wk, self.dtype)
                 y = _conv_same(g, wk, (local_d, 1), q8)
                 scale_r = jnp.repeat(scale, cur_d, axis=0)
-                if epi_fuse:
-                    pend = (h0, y, scale_r)
-                    continue
                 h = (h0 + y * scale_r[:, None, None, :]) / math.sqrt(2.0)
                 continue
             if pack_stack:
@@ -835,27 +806,12 @@ class AdaLNResBlock(nn.Module):
             h = Conv2dFT(N, self.kernel, dilation=(2 ** i, 1), dtype=self.dtype,
                          foldf=self.conv_foldf, quant=self.quant,
                          name=f"conv_{i}")(g)
-            if epi_fuse:
-                pend = (h0, h, scale)
-                continue
             h = (h0 + h * scale[:, None, None, :]) / math.sqrt(2.0)
 
         if pack_stack:
             h = _unpack_pairs(h)
         if chain_stack and (cur_d > 1 or cur_fold):
-            if pend is not None and not cur_fold:
-                h = epilogue_transition(pend[0], pend[1], pend[2],
-                                        cur_d, 1, Bsz, F_entry)
-                pend = None
-            else:
-                if pend is not None:
-                    h = _epi_flush(pend)
-                    pend = None
-                h = _chain_transition(h, cur_d, cur_fold, 1, False, Bsz,
-                                      F_entry)
-        elif pend is not None:
-            h = _epi_flush(pend)
-            pend = None
+            h = _chain_transition(h, cur_d, cur_fold, 1, False, Bsz, F_entry)
 
         if self.proj_place == "after" and N != self.dim_out:
             h = Conv2dFT(self.dim_out, (1, 1), quant=self.quant,

@@ -319,33 +319,3 @@ def test_chain_stride_matches_default(monkeypatch, stride):
     g1 = np.asarray(jax.grad(lambda xx: jnp.sum(jnp.square(
         chained.apply(params, xx, emb))))(x))
     np.testing.assert_allclose(g1, g0, atol=2e-4)
-
-
-@pytest.mark.parametrize("stride", [1, 2])
-def test_epi_fuse_matches_default(monkeypatch, stride):
-    """AID_TPU_EPI_FUSE=1 (gate/residual epilogue emitted fused with the
-    following layout transition as one Pallas gather pass) is numerically
-    identical to the unfused chain path — forward and guidance gradient —
-    under both transition schedules. Also exercises a fold boundary (F=24,
-    d=8 folds at Fz=3): pend must flush before entering a folded layout."""
-    import numpy as np
-    from aid_tpu.models.unet_cqt import AdaLNResBlock
-    rng = np.random.default_rng(3)
-    for F in (32, 24):
-        x = jnp.asarray(rng.standard_normal((2, F, 20, 16)), jnp.float32)
-        emb = jnp.asarray(rng.standard_normal((2, 8)), jnp.float32)
-        ref_block = AdaLNResBlock(dim_out=16, num_dils=5, use_norm=True,
-                                  fdim=F)
-        params = ref_block.init(jax.random.PRNGKey(0), x, emb)
-        y0 = np.asarray(ref_block.apply(params, x, emb))
-        g0 = np.asarray(jax.grad(lambda xx: jnp.sum(jnp.square(
-            ref_block.apply(params, xx, emb))))(x))
-        chained = AdaLNResBlock(dim_out=16, num_dils=5, use_norm=True,
-                                fdim=F, chain_regroup=True)
-        monkeypatch.setenv("AID_TPU_CHAIN_STRIDE", str(stride))
-        monkeypatch.setenv("AID_TPU_EPI_FUSE", "1")
-        y1 = np.asarray(chained.apply(params, x, emb))
-        np.testing.assert_allclose(y1, y0, atol=2e-5)
-        g1 = np.asarray(jax.grad(lambda xx: jnp.sum(jnp.square(
-            chained.apply(params, xx, emb))))(x))
-        np.testing.assert_allclose(g1, g0, atol=2e-4)
