@@ -104,21 +104,41 @@ class InpaintingService:
     # ------------------------------------------------------------ parallelism
 
     def shard(self, mesh=None) -> "InpaintingService":
-        """Enable data-parallel serving over a ``dp`` mesh.
+        """Enable SPMD serving over a ``dp`` (throughput) and/or ``dp`` x
+        ``tp`` (throughput x latency) mesh.
 
-        Replicates the network weights across the mesh and makes ``inpaint``
-        shard each window batch along the dp axis (``max_batch`` is the
-        GLOBAL batch; it is rounded up to a multiple of the mesh size). The
+        1-D ``dp`` mesh (default): replicates the network weights and shards
+        each window batch along the dp axis (``max_batch`` is the GLOBAL
+        batch; it is rounded up to a multiple of the dp size). The
         per-window computation is embarrassingly parallel, so XLA partitions
         the jitted guided-Heun program with zero cross-chip collectives —
-        aggregate throughput scales with the mesh. Multi-host pods: call
+        aggregate throughput scales with the mesh.
+
+        2-D ("dp", "tp") mesh (``parallel.tp.make_tp_mesh``): additionally
+        splits every conv/dense kernel's output channels over the tp axis
+        (Megatron-style, aid_tpu/parallel/tp.py), so each individual score
+        call — and therefore each sequential chain pass of a long gap — runs
+        across tp chips. This is the latency route for models whose
+        single-chip FLOPs ceiling is below realtime (the 44k flagship,
+        PARITY.md). Multi-host pods: call
         ``aid_tpu.parallel.mesh.init_distributed()`` first.
         """
         from aid_tpu.parallel import mesh as pmesh
+        from aid_tpu.parallel import tp as ptp
         self.mesh = mesh if mesh is not None else pmesh.make_mesh()
-        n = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
-        self.max_batch = int(np.ceil(self.max_batch / n) * n)
-        self.bundle.params = pmesh.replicate(self.mesh, self.bundle.params)
+        n_dp = int(self.mesh.shape.get(pmesh.DATA_AXIS, 1))
+        self.max_batch = int(np.ceil(self.max_batch / n_dp) * n_dp)
+        n_tp = int(self.mesh.shape.get(ptp.MODEL_AXIS, 1))
+        if n_tp > 1:
+            from aid_tpu.ops.qconv import quant_mode
+            if quant_mode(getattr(self.args.network, "quant", "none")) != "none":
+                raise ValueError("tensor-parallel serving does not compose "
+                                 "with int8 quantization (network.quant / "
+                                 "AID_TPU_QUANT must be 'none')")
+            self.bundle.params = ptp.place_params(self.bundle.params,
+                                                  self.mesh)
+        else:
+            self.bundle.params = pmesh.replicate(self.mesh, self.bundle.params)
         return self
 
     def _place_batch(self, arr: np.ndarray):
