@@ -109,6 +109,58 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def fsdp_shardings(tree, mesh: Mesh, axis: str = DATA_AXIS,
+                   min_size: int = 2 ** 14):
+    """ZeRO-3-style shardings: split every large leaf over the dp axis.
+
+    The dp axis does double duty (standard FSDP): the batch is sharded over
+    it AND the params / EMA / optimizer moments are sharded over it, so
+    per-device state memory drops ~n_dp-fold. XLA's SPMD partitioner turns
+    parameter uses into just-in-time all-gathers and gradient contributions
+    into reduce-scatters — the train step stays the one jitted function
+    (trainer.py), nothing imperative.
+
+    Per leaf: shard the LARGEST dim divisible by the axis size; leaves
+    smaller than ``min_size`` elements (biases, norm gains, scalar opt
+    counters) stay replicated — collecting them per-use would cost more
+    latency than their memory is worth.
+    """
+    n = int(mesh.shape[axis])
+    repl = NamedSharding(mesh, P())
+
+    def visit(leaf):
+        shp = tuple(getattr(leaf, "shape", ()))
+        if n <= 1 or int(np.prod(shp, dtype=np.int64) if shp else 0) < min_size:
+            return repl
+        best = None
+        for i, d in enumerate(shp):
+            if d % n == 0 and (best is None or d > shp[best]):
+                best = i
+        if best is None:
+            return repl
+        spec = [None] * len(shp)
+        spec[best] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(visit, tree)
+
+
+def place(tree, shardings):
+    """Commit a host pytree onto per-leaf shardings (multi-process safe).
+
+    Values are identical on every process by construction (same seed / same
+    restored checkpoint), so on multi-process meshes the global arrays are
+    assembled from local slices with no collective (see ``replicate``).
+    """
+    if jax.process_count() > 1:
+        def put(x, sh):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh,
+                                                lambda idx: x[idx])
+        return jax.tree_util.tree_map(put, tree, shardings)
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     """This host's share of the global batch."""
     n = mesh.devices.size
