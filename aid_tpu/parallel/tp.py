@@ -100,6 +100,8 @@ def place_params(params, mesh: Mesh):
     After this, any ``jax.jit`` program called with these arrays partitions
     its compute accordingly — the Sampler's guided-Heun scan needs no code
     change (jit derives the partitioning from committed input shardings).
+    Multi-host meshes assemble global arrays from local slices with no
+    collective (mesh.place), same as the dp replicate path.
     """
-    sh = param_shardings(params, mesh)
-    return jax.tree_util.tree_map(jax.device_put, params, sh)
+    from aid_tpu.parallel.mesh import place
+    return place(params, param_shardings(params, mesh))

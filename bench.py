@@ -78,8 +78,20 @@ def main() -> None:
     bundle = asetup.setup_network(args)
     ediff = asetup.setup_diff_parameters(args)
 
+    # BENCH_TP=k: tensor-parallel latency mode — each score call split over
+    # k chips (Megatron-style kernel sharding, aid_tpu/parallel/tp.py);
+    # composes with BENCH_DEVICES as a (dp=BENCH_DEVICES, tp=k) mesh. The
+    # first pod measurement for the 44k >=1x-realtime claim is
+    #   BENCH_TP=4 BENCH_BATCH=1 BENCH_OVERRIDES="exp=musicnet44k_4s
+    #   network=cqtdiff_plus_44k" python bench.py
+    n_tp = int(os.environ.get("BENCH_TP", "1"))
+
     mesh = None
-    if n_dev > 1:
+    if n_tp > 1:
+        from aid_tpu.parallel import tp as ptp
+        mesh = ptp.make_tp_mesh(n_tp, n_dp=n_dev)
+        batch = batch * n_dev  # global batch: BENCH_BATCH windows per dp row
+    elif n_dev > 1:
         from aid_tpu.parallel import mesh as pmesh
         mesh = pmesh.make_mesh(n_dev)
         n_dev = int(mesh.devices.size)
@@ -87,8 +99,12 @@ def main() -> None:
 
     bundle.init(jax.random.PRNGKey(0), batch, audio_len)
     if mesh is not None:
-        from aid_tpu.parallel import mesh as pmesh
-        bundle.params = pmesh.replicate(mesh, bundle.params)
+        if n_tp > 1:
+            from aid_tpu.parallel import tp as ptp
+            bundle.params = ptp.place_params(bundle.params, mesh)
+        else:
+            from aid_tpu.parallel import mesh as pmesh
+            bundle.params = pmesh.replicate(mesh, bundle.params)
 
     sampler = asetup.setup_sampler(args, network=bundle, diff_params=ediff)
 
@@ -135,6 +151,8 @@ def main() -> None:
     }
     if n_dev > 1:
         line["devices"] = n_dev  # aggregate RTF over the dp mesh
+    if n_tp > 1:
+        line["tp"] = n_tp        # per-score latency split over tp chips
     print(json.dumps(line))
 
 
