@@ -883,6 +883,32 @@ def resample_time(x: jnp.ndarray, up: bool, kernel: str = "cubic") -> jnp.ndarra
 # --------------------------------------------------------------------------
 
 
+def _cp_constrain(x: jnp.ndarray) -> jnp.ndarray:
+    """Pin the frame-time axis of a [B, F, T, C] activation to the cp mesh.
+
+    Full-score context parallelism (network.context_parallel): with these
+    pins at the octave entries and after each time-resample, XLA's SPMD
+    partitioner keeps every activation time-sharded through the whole U-Net
+    — convs get halo exchanges (kernel width 3 in T), the FIR resamplers get
+    boundary halos, GroupNorm stats get one small psum — and attention rides
+    the ring (TimeAttention + attention_dict.context_parallel). Other dims
+    stay UNCONSTRAINED so dp batch sharding composes. No-op when no cp mesh
+    is installed or T is not divisible by the cp size (deep levels of a
+    short clip): GSPMD then picks layouts freely, still correct.
+    """
+    from aid_tpu.parallel.ring_attention import CP_AXIS, get_cp_mesh
+    mesh = get_cp_mesh()
+    if mesh is None:
+        return x
+    n = int(mesh.shape[CP_AXIS])
+    if n <= 1 or x.ndim != 4 or x.shape[2] % n != 0:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    U = P.UNCONSTRAINED
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(U, U, CP_AXIS, U)))
+
+
 class UnetCQT(nn.Module):
     """The full octave U-Net denoiser (reference forward networks:730-845).
 
@@ -906,6 +932,7 @@ class UnetCQT(nn.Module):
     chain_stride: int = 2        # per-model layout-transition stride
     gelu: str = "erf"         # erf (reference-exact) | tanh | sigmoid
     quant: str = "none"       # int8: dynamic-quantized MXU serving path
+    context_parallel: bool = False  # full-score time sharding over the cp mesh
     dtype: Any = jnp.float32  # in guidance backprops / large-batch training)
 
     @nn.compact
@@ -927,7 +954,8 @@ class UnetCQT(nn.Module):
 
         def to_real(c):  # complex [B,1,bins,M] -> [B, F=bins, T=M, C=2]
             r = jnp.stack([c.real, c.imag], axis=-1)[:, 0]
-            return r.astype(self.dtype)
+            r = r.astype(self.dtype)
+            return _cp_constrain(r) if self.context_parallel else r
 
         def attn_cfg(flag):
             return dict(self.attention) if flag else None
@@ -964,6 +992,8 @@ class UnetCQT(nn.Module):
                 nC = X.shape[-1]
                 both = resample_time(
                     jnp.concatenate([X, pyr], axis=-1), up=False)
+                if self.context_parallel:
+                    both = _cp_constrain(both)
                 X, pyr = both[..., :nC], both[..., nC:]
             X = (X + Conv2dFT(self.Ns[i], (5, 3), quant=self.quant,
                               dtype=self.dtype,
@@ -1008,6 +1038,8 @@ class UnetCQT(nn.Module):
                 nC = X.shape[-1]
                 both = resample_time(
                     jnp.concatenate([X, Xout], axis=-1), up=True)
+                if self.context_parallel:
+                    both = _cp_constrain(both)
                 X, Xout = both[..., :nC], both[..., nC:]
 
         pred = self.cqt.bwd(X_out_list)[:, 0]
@@ -1046,5 +1078,6 @@ def build_unet(args, device=None) -> UnetCQT:
         chain_stride=int(net.get("chain_stride", 2)),
         gelu=str(net.get("gelu", "erf")),
         quant=str(net.get("quant", "none")),
+        context_parallel=bool(net.get("context_parallel", False)),
         dtype=dtype,
     )

@@ -135,3 +135,24 @@ def set_cp_mesh(mesh: Optional[Mesh]) -> None:
 
 def get_cp_mesh() -> Optional[Mesh]:
     return _CP_MESH
+
+
+def make_cp_mesh(n_cp: int, n_dp: int = 1, devices=None) -> Mesh:
+    """2-D ("dp", "cp") mesh over the first n_dp*n_cp devices.
+
+    cp is the minor (fastest-varying) axis so each score's halo exchanges
+    and ring hops ride adjacent-device ICI links; dp (no collectives at
+    serving time) spans the longer dimension. Counterpart of
+    ``parallel.tp.make_tp_mesh`` for the context-parallel latency route
+    (``InpaintingService.shard``).
+    """
+    import numpy as np
+
+    from aid_tpu.parallel.mesh import DATA_AXIS
+    devs = list(devices if devices is not None else jax.devices())
+    need = n_cp * n_dp
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices for dp={n_dp} x cp={n_cp}, "
+                         f"have {len(devs)}")
+    grid = np.asarray(devs[:need]).reshape(n_dp, n_cp)
+    return Mesh(grid, (DATA_AXIS, CP_AXIS))

@@ -122,13 +122,38 @@ class InpaintingService:
         single-chip FLOPs ceiling is below realtime (the 44k flagship,
         PARITY.md). Multi-host pods: call
         ``aid_tpu.parallel.mesh.init_distributed()`` first.
+
+        2-D ("dp", "cp") mesh: full-score context parallelism — every
+        activation's frame-time axis is sharded over the cp axis
+        (models/unet_cqt._cp_constrain: conv halo exchanges, resampler
+        halos, ring attention), weights stay replicated. The alternative
+        latency route: activation (not weight) traffic rides ICI, which
+        wins over tp when channel counts are small relative to T (this
+        model family). Rebuilds the service's module with
+        ``network.context_parallel=True`` — params are unchanged (the flag
+        only inserts sharding constraints).
         """
         from aid_tpu.parallel import mesh as pmesh
         from aid_tpu.parallel import tp as ptp
+        from aid_tpu.parallel import ring_attention as ring
         self.mesh = mesh if mesh is not None else pmesh.make_mesh()
         n_dp = int(self.mesh.shape.get(pmesh.DATA_AXIS, 1))
         self.max_batch = int(np.ceil(self.max_batch / n_dp) * n_dp)
         n_tp = int(self.mesh.shape.get(ptp.MODEL_AXIS, 1))
+        n_cp = int(self.mesh.shape.get(ring.CP_AXIS, 1))
+        if n_tp > 1 and n_cp > 1:
+            raise ValueError("serving over a tp x cp mesh is not supported: "
+                             "pick ONE latency axis (tp splits kernels, cp "
+                             "splits the time axis)")
+        if n_cp > 1:
+            # flip the module to its context-parallel form (same params —
+            # the flag only adds with_sharding_constraint pins) and install
+            # the mesh for _cp_constrain / ring_attention to pick up
+            self.args.network["context_parallel"] = True
+            if "attention_dict" in self.args.network:
+                self.args.network["attention_dict"]["context_parallel"] = True
+            self.bundle.module = asetup.setup_network(self.args).module
+            ring.set_cp_mesh(self.mesh)
         if n_tp > 1:
             from aid_tpu.ops.qconv import quant_mode
             if quant_mode(getattr(self.args.network, "quant", "none")) != "none":
