@@ -27,6 +27,7 @@ Architecture map (reference file:line):
 from __future__ import annotations
 
 import math
+import os as _os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -705,6 +706,11 @@ class AdaLNResBlock(nn.Module):
         # regrouped plain convs beat direct rhs_dilation convs at EVERY d
         # once the per-layer regroup copies are chained away.
         chain_min_d = int(_os.environ.get("AID_TPU_CHAIN_MIN_D", "2"))
+        if chain_min_d & (chain_min_d - 1) or chain_min_d < 1:
+            raise ValueError(
+                f"AID_TPU_CHAIN_MIN_D={chain_min_d} must be a power of two: "
+                "chain targets are dilation levels 2^i, and a non-power-of-"
+                "two floor would silently truncate local_d = d/target.")
         # deepest chain levels fold the Fz = F/d remaining freq rows into the
         # lane dim when Fz <= this (AID_TPU_CHAIN_FOLD_MAX, 0 disables): the
         # 5-tap freq conv there is mostly SAME padding, and the folded form is
@@ -909,6 +915,39 @@ def _cp_constrain(x: jnp.ndarray) -> jnp.ndarray:
         x, NamedSharding(mesh, P(U, U, CP_AXIS, U)))
 
 
+_logged_formulations: set = set()
+
+
+def _log_effective_formulation(net: "UnetCQT") -> None:
+    """Print the EFFECTIVE kernel-formulation knobs once per distinct value.
+
+    The AID_TPU_* env overrides exist for perf A/Bs, but a stray one silently
+    changes the compiled program; every build states what it actually uses so
+    benched numbers are attributable (VERDICT r3 weak #4)."""
+    eff = (
+        ("conv_mode", _os.environ.get("AID_TPU_CONV_MODE", "auto")),
+        ("stack_mode", _os.environ.get("AID_TPU_STACK_MODE", "")
+         or ("pack" if net.pack_stack else "")
+         or ("chain" if net.chain_regroup else "plain")),
+        ("chain_min_d", _os.environ.get("AID_TPU_CHAIN_MIN_D", "2")),
+        ("chain_fold_max", _os.environ.get("AID_TPU_CHAIN_FOLD_MAX", "4")),
+        ("chain_stride", _os.environ.get("AID_TPU_CHAIN_STRIDE",
+                                         str(net.chain_stride))),
+        ("gelu", _os.environ.get("AID_TPU_GELU", net.gelu)),
+        ("quant", _os.environ.get("AID_TPU_QUANT", net.quant)),
+        ("dtype", jnp.dtype(net.dtype).name),
+        ("remat", net.remat),
+    )
+    if eff not in _logged_formulations:
+        _logged_formulations.add(eff)
+        overrides = sorted(k for k in _os.environ if k.startswith("AID_TPU_"))
+        print("[aid_tpu] formulation: "
+              + " ".join(f"{k}={v}" for k, v in eff)
+              + (f"  (env overrides active: {', '.join(overrides)})"
+                 if overrides else ""),
+              flush=True)
+
+
 class UnetCQT(nn.Module):
     """The full octave U-Net denoiser (reference forward networks:730-845).
 
@@ -937,6 +976,7 @@ class UnetCQT(nn.Module):
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray, cnoise: jnp.ndarray) -> jnp.ndarray:
+        _log_effective_formulation(self)
         O = self.cqt.num_octs
         bins = self.cqt.bins_per_oct
         import functools as _ft

@@ -161,6 +161,25 @@ def place(tree, shardings):
     return jax.tree_util.tree_map(jax.device_put, tree, shardings)
 
 
+def gather_to_host(tree):
+    """Fetch a (possibly cross-process FSDP-sharded) pytree onto this host.
+
+    ``jax.device_get`` raises on arrays with non-addressable shards — the
+    FSDP state on a multi-process mesh spans devices of other processes —
+    so such leaves are allgathered over the mesh first (one DCN/ICI gather
+    per large leaf, only at checkpoint cadence). Fully-addressable leaves
+    (single-process FSDP, replicated state) take the plain device_get path.
+    """
+    from jax.experimental import multihost_utils
+
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(get, tree)
+
+
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     """This host's share of the global batch."""
     n = mesh.devices.size

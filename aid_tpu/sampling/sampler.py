@@ -146,7 +146,7 @@ class Sampler:
             return x, rec
         return x
 
-    def compile_inpainting(self, y_masked, mask, key) -> None:
+    def compile_inpainting(self, y_masked, mask, key):
         """AOT-compile the guided-inpainting program for these arg shapes
         without executing it. Compilation is process-local; multi-process
         serving calls this before its first cross-process barrier so the

@@ -332,7 +332,12 @@ class InpaintingService:
         ctx = max(1, int(self.CHAIN_CONTEXT_FRACTION * L))
         while ready or chains:
             batch = []  # (w0, a, b, chain-or-None)
-            for ch in chains[: self.max_batch]:
+            # Leave at least one row for independent window jobs whenever
+            # any are pending, so many concurrent chains can't starve the
+            # short gaps; unscheduled chains rotate to the front next round.
+            n_chain = min(len(chains),
+                          self.max_batch - 1 if ready else self.max_batch)
+            for ch in chains[:n_chain]:
                 # chained sub-window: observe ``ctx`` known samples on the
                 # left, fill the reachable remainder (the autoregressive
                 # outpainting recipe, reference testing/edm_sampler.py:396-418)
@@ -359,8 +364,10 @@ class InpaintingService:
                     ch.pos = w0 + b
                     if ch.pos >= ch.g1:
                         done.append(ch)
-            for ch in done:
-                chains.remove(ch)
+            finished = {id(ch) for ch in done}
+            chains = ([ch for ch in chains[n_chain:]]
+                      + [ch for ch in chains[:n_chain]
+                         if id(ch) not in finished])
 
         out = out[:orig_len]
         mask_m = mask_m[:orig_len]

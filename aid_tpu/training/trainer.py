@@ -313,11 +313,13 @@ class Trainer:
         trainer.py:187-207) plus the composed args as yaml."""
         it = int(jax.device_get(self.state.it))
         path = self._ckpt_path(it)
+        # FSDP state on a multi-process mesh has non-addressable shards;
+        # gather_to_host allgathers those leaves (device_get would raise).
         payload = {
             "it": it,
-            "network": jax.device_get(self.state.params),
-            "ema": jax.device_get(self.state.ema),
-            "optimizer": jax.device_get(self.state.opt_state),
+            "network": pmesh.gather_to_host(self.state.params),
+            "ema": pmesh.gather_to_host(self.state.ema),
+            "optimizer": pmesh.gather_to_host(self.state.opt_state),
         }
         self.ckpt.save(path, payload, force=True)
         if self.remove_last:

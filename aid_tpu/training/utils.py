@@ -178,6 +178,15 @@ def augment(key: jax.Array, audio: jnp.ndarray, aug_cfg) -> jnp.ndarray:
     conf/exp/*:augmentations). Polarity flip is exact; gain is uniform dB."""
     if aug_cfg is None:
         return audio
+    ps = aug_cfg.get("pitch_shift", None)
+    if ps is not None and bool(ps.get("use", False)):
+        # The reference configs carry this key but no implementation exists
+        # there either (conf/exp/*:augmentations.pitch_shift is never read).
+        # An enabled-and-ignored capability must fail loudly, not no-op.
+        raise NotImplementedError(
+            "augmentations.pitch_shift.use=True is not implemented "
+            "(the reference never implements it either); set use=False "
+            "or remove the key.")
     if bool(aug_cfg.get("rev_polarity", False)):
         key, k = jax.random.split(key)
         sign = jnp.where(jax.random.bernoulli(k, 0.5, (audio.shape[0], 1)), -1.0, 1.0)

@@ -61,6 +61,18 @@ def test_augment_polarity_only_flips_sign():
         assert np.allclose(r, 1.0) or np.allclose(r, -1.0)
 
 
+def test_augment_pitch_shift_enabled_raises():
+    # enabled-but-unimplemented config must fail loudly, never no-op
+    x = jnp.zeros((2, 16), jnp.float32)
+    cfg = {"pitch_shift": {"use": True}}
+    with pytest.raises(NotImplementedError):
+        tutils.augment(jax.random.PRNGKey(0), x, cfg)
+    # disabled key stays a no-op
+    y = tutils.augment(jax.random.PRNGKey(0), x,
+                       {"pitch_shift": {"use": False}})
+    assert y.shape == x.shape
+
+
 def test_ema_rate_rampup():
     assert tutils.ema_rate_at(0, 4, 0.9999, 10000) == pytest.approx(1 / 10)
     assert tutils.ema_rate_at(10 ** 7, 4, 0.9999, 10000) == pytest.approx(0.9999)
