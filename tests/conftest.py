@@ -31,13 +31,73 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.devices()
 
 
+# Tests measured >= ~8 s on the 1-core reference box (pytest --durations).
+# They stay in the ``quick`` tier (full pre-merge signal) but are demoted out
+# of ``core`` so ``pytest -m core`` is a true minutes-scale inner loop.
+# Names are matched on the unparametrized test id.
+MEDIUM = {
+    "tests/test_bench.py::test_bench_runs_and_prints_json",
+    "tests/test_checkpoint_convert.py::test_load_reference_pt_end_to_end",
+    "tests/test_cli.py::test_train_cli_end_to_end",
+    "tests/test_cp_full.py::test_dp_cp_serving_inpaint_matches_single_device",
+    "tests/test_cp_full.py::test_full_score_cp_matches_unsharded",
+    "tests/test_cqt.py::test_bwd_fwd_equals_hpf",
+    "tests/test_cqt.py::test_custom_vjp_matches_autodiff",
+    "tests/test_cqt.py::test_gradients_flow",
+    "tests/test_fsdp.py::test_fsdp_checkpoint_roundtrip",
+    "tests/test_fsdp.py::test_fsdp_trajectory_matches_replicated",
+    "tests/test_graft_entry.py::test_dryrun_multichip_respawns_from_unsuitable_backend",
+    "tests/test_model_parity.py::test_full_model_matches_torch_reference",
+    "tests/test_pallas.py::test_fused_matches_unfused_grads",
+    "tests/test_parallel.py::test_model_context_parallel_attention",
+    "tests/test_parallel.py::test_ring_attention_matches_dense",
+    "tests/test_parallel.py::test_sharded_step_matches_single_device",
+    "tests/test_qconv.py::test_guided_sampler_runs_quantized",
+    "tests/test_qconv.py::test_int8_composes_with_stack_modes",
+    "tests/test_qconv.py::test_model_apply_with_prequant_params_matches_dynamic",
+    "tests/test_qconv.py::test_model_fidelity_and_guidance_direction",
+    "tests/test_qconv.py::test_sampler_prequantizes_once",
+    "tests/test_reference_code_parity.py::test_autoregressive_outpainting_parity_vs_reference",
+    "tests/test_reference_code_parity.py::test_bwe_trajectory_parity_vs_generic_reference_sampler",
+    "tests/test_reference_code_parity.py::test_compsens_trajectory_parity_vs_generic_reference_sampler",
+    "tests/test_reference_code_parity.py::test_declipping_trajectory_parity_vs_generic_reference_sampler",
+    "tests/test_reference_code_parity.py::test_forward_parity_vs_reference_code",
+    "tests/test_reference_code_parity.py::test_sampler_guided_trajectory_parity_vs_reference_code",
+    "tests/test_reference_code_parity.py::test_sampler_trajectory_parity_vs_reference_code",
+    "tests/test_reference_code_parity.py::test_spectrogram_inpainting_trajectory_parity",
+    "tests/test_reference_code_parity.py::test_training_gradient_parity_vs_reference_code",
+    "tests/test_serving.py::test_autotune_max_batch",
+    "tests/test_serving.py::test_sharded_service_matches_single_device",
+    "tests/test_serving.py::test_sharded_service_with_int8_quant",
+    "tests/test_tester.py::test_dodajob_writes_wavs",
+    "tests/test_tp.py::test_dp_tp_serving_inpaint_matches_single_device",
+    "tests/test_tp.py::test_tp_forward_matches_replicated",
+    "tests/test_trainer.py::test_gradient_accumulation",
+    "tests/test_trainer.py::test_heavy_logging_writes_artifacts",
+    "tests/test_trainer.py::test_train_step_runs_and_descends",
+    "tests/test_trainer.py::test_training_continues_after_resume",
+    "tests/test_unet.py::test_chain_fold_matches_default",
+    "tests/test_unet.py::test_chain_stride_matches_default",
+    "tests/test_unet.py::test_eight_octave_architecture",
+}
+
+
 def pytest_collection_modifyitems(items):
-    # Tier the suite: anything not explicitly ``slow`` is ``quick``, so
-    # ``pytest -m quick`` gives a fast green/red and ``-m "not slow"`` works
-    # without every test author opting in.
+    # Three tiers (README "Tests"):
+    #   core   = the <5-min inner loop on a 1-core box (default dev signal)
+    #   quick  = core + medium: everything not ``slow`` (pre-merge signal)
+    #   slow   = flagship-scale / e2e / multihost (opt-in)
+    # ``quick`` and ``core`` are auto-applied so `-m core` / `-m quick` /
+    # `-m "not slow"` all work without per-test opt-in.
     for item in items:
-        if "slow" not in item.keywords:
-            item.add_marker(pytest.mark.quick)
+        if "slow" in item.keywords:
+            continue
+        item.add_marker(pytest.mark.quick)
+        base = item.nodeid.split("[")[0]
+        if base in MEDIUM:
+            item.add_marker(pytest.mark.medium)
+        else:
+            item.add_marker(pytest.mark.core)
 
 
 @pytest.fixture
