@@ -67,6 +67,7 @@ MEDIUM = {
     "tests/test_reference_code_parity.py::test_spectrogram_inpainting_trajectory_parity",
     "tests/test_reference_code_parity.py::test_training_gradient_parity_vs_reference_code",
     "tests/test_serving.py::test_autotune_max_batch",
+    "tests/test_serving.py::test_ready_jobs_not_starved_by_many_chains",
     "tests/test_serving.py::test_sharded_service_matches_single_device",
     "tests/test_serving.py::test_sharded_service_with_int8_quant",
     "tests/test_tester.py::test_dodajob_writes_wavs",

@@ -172,6 +172,44 @@ def test_chain_passes_cobatched_with_pending_jobs(service, monkeypatch):
         assert all(used), f"idle batch row while work was pending: {rows_used}"
 
 
+def test_ready_jobs_not_starved_by_many_chains(service, monkeypatch):
+    """More active chains than max_batch must not starve short gaps: while
+    single-window jobs are pending, each batch reserves a row for them
+    (ADVICE r3: scheduler fairness). Ready rows are identifiable by their
+    small unknown span; chain rows fill most of a window."""
+    fs = 22050
+    L = 2048
+    T = 16 * L
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(T) * 0.05).astype(np.float32)
+    mask = np.ones(T, np.float32)
+    # three long gaps -> three chains (> max_batch=2), each needing >=2 passes
+    for s0 in (2000, 12000, 22000):
+        mask[s0:s0 + 3000] = 0
+    # two short gaps -> ready jobs
+    mask[28000:28100] = 0
+    mask[30500:30600] = 0
+
+    small_rows_at = []
+    real_run = InpaintingService._run_batch
+
+    def spy(self, xb, mb, key):
+        small_rows_at.append([int(0 < (mb[r] < 0.5).sum() < 500)
+                              for r in range(mb.shape[0])])
+        return real_run(self, xb, mb, key)
+
+    monkeypatch.setattr(InpaintingService, "_run_batch", spy)
+    out = service.inpaint(audio, mask, fs, seed=7)
+    np.testing.assert_array_equal(out[mask > 0.5], audio[mask > 0.5])
+    assert np.all(np.isfinite(out))
+
+    # both ready jobs must run in the first two batches (one reserved row
+    # each); before the fix three chains monopolized both rows until a
+    # chain drained
+    n_small_first_two = sum(sum(r) for r in small_rows_at[:2])
+    assert n_small_first_two >= 2, small_rows_at
+
+
 def test_short_signal_padded(service):
     fs = 22050
     T = 1500  # shorter than the 2048 model window
