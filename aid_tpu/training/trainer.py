@@ -74,6 +74,7 @@ def make_train_step(
     """Build the pure (state, batch, fs, key) -> (state, metrics) step."""
     ema_rate = float(exp.ema_rate)
     ema_rampup = exp.get("ema_rampup", None)
+    skip_gnorm = float(exp.get("skip_grad_norm", 0) or 0)
     batch_global = int(exp.batch)
     target_fs = int(exp.sample_rate)
     aug_cfg = exp.get("augmentations", None)
@@ -125,8 +126,26 @@ def make_train_step(
             loss, (per_sample, sigma), grads = micro_grads(state.params, key,
                                                            batch, fs, rates)
 
+        gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        skipped = jnp.zeros((), jnp.float32)
+        if skip_gnorm > 0:
+            # step-skip guardrail (exp.skip_grad_norm; off by default — the
+            # reference has only the clip, trainer.py:277-278): a non-finite
+            # or exploding pre-clip gradient keeps params AND optimizer
+            # moments untouched, so one pathological batch can't pollute the
+            # Adam state. Motivated by a measured flagship bf16 divergence
+            # (PARITY.md round 4: gnorm 0.4 -> 1e5 over ~2k its).
+            ok = jnp.isfinite(gnorm) & (gnorm < skip_gnorm)
+            skipped = 1.0 - ok.astype(jnp.float32)
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old),
+                params, state.params)
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old) if hasattr(
+                    new, "dtype") else new,
+                opt_state, state.opt_state)
 
         # EMA with rampup (reference trainer.py:291-304), computed in-graph so
         # the whole iteration stays one program.
@@ -135,11 +154,10 @@ def make_train_step(
                 if ema_rampup is not None else ema_rate)
         ema = jax.tree_util.tree_map(
             lambda e, q: e + (1.0 - rate) * (q - e), state.ema, params)
-
-        gnorm = optax.global_norm(grads)
         metrics = {
             "loss": loss,
             "grad_norm": gnorm,
+            "skipped": skipped,
             "sigma_bins": tstats.sigma_binned_moments(per_sample, sigma, edges),
             "loss_moments": tstats.moments(per_sample),
             # per-module gradient norms: the TPU-native stand-in for the

@@ -74,6 +74,7 @@ MEDIUM = {
     "tests/test_tp.py::test_dp_tp_serving_inpaint_matches_single_device",
     "tests/test_tp.py::test_tp_forward_matches_replicated",
     "tests/test_trainer.py::test_gradient_accumulation",
+    "tests/test_trainer.py::test_skip_step_guardrail",
     "tests/test_trainer.py::test_heavy_logging_writes_artifacts",
     "tests/test_trainer.py::test_train_step_runs_and_descends",
     "tests/test_trainer.py::test_training_continues_after_resume",

@@ -91,6 +91,44 @@ def test_metrics_shapes(trainer):
     assert np.isfinite(scalars["loss"])
 
 
+def test_skip_step_guardrail(tmp_path_factory):
+    """exp.skip_grad_norm: a step whose pre-clip gradient norm exceeds the
+    threshold must leave params, optimizer moments, and EMA untouched
+    (guards Adam state against pathological batches; PARITY.md round 4)."""
+    tmp = str(tmp_path_factory.mktemp("skiptr"))
+    args = _tiny_args(tmp)
+    args.exp["skip_grad_norm"] = 1e-12   # everything skips
+    bundle = asetup.setup_network(args)
+    ediff = asetup.setup_diff_parameters(args)
+    tr = asetup.setup_trainer(args, dset=_SynthData(8, 2048), network=bundle,
+                              diff_params=ediff)
+    tr.init_state()
+    p0 = [np.asarray(l).copy()
+          for l in jax.tree_util.tree_leaves(tr.state.params)]
+    for _ in range(2):   # step 2 has a non-zero ramped LR
+        m = tr.train_step(*tr.get_batch())
+    assert float(np.asarray(m["skipped"])) == 1.0
+    p1 = [np.asarray(l) for l in jax.tree_util.tree_leaves(tr.state.params)]
+    for a, b in zip(p0, p1):
+        np.testing.assert_array_equal(a, b)
+    assert int(np.asarray(jax.device_get(tr.state.it))) == 2  # it advances
+
+    # generous threshold: the step applies and reports not-skipped
+    args2 = _tiny_args(str(tmp_path_factory.mktemp("skiptr2")))
+    args2.exp["skip_grad_norm"] = 1e9
+    bundle2 = asetup.setup_network(args2)
+    tr2 = asetup.setup_trainer(args2, dset=_SynthData(8, 2048),
+                               network=bundle2, diff_params=ediff)
+    tr2.init_state()
+    q0 = [np.asarray(l).copy()
+          for l in jax.tree_util.tree_leaves(tr2.state.params)]
+    for _ in range(2):
+        m2 = tr2.train_step(*tr2.get_batch())
+    assert float(np.asarray(m2["skipped"])) == 0.0
+    q1 = [np.asarray(l) for l in jax.tree_util.tree_leaves(tr2.state.params)]
+    assert any(not np.array_equal(a, b) for a, b in zip(q0, q1))
+
+
 def test_checkpoint_roundtrip(trainer):
     path = trainer.save_checkpoint()
     assert os.path.exists(path)
