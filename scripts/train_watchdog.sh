@@ -1,35 +1,43 @@
 #!/bin/bash
-# Relaunch the round-4 flagship training run as soon as the TPU tunnel
-# recovers. The single-tenant axon tunnel can wedge for a while after a
-# SIGTERM on an attached client; this loop starts train.py, waits for a
-# successful device attach (the "devices:" banner), and if the attach
-# blocks >10 min, hard-kills the never-attached client and retries.
+# Patient supervisor for the round-4 flagship training run.
+#
+# Lesson from the first version: NEVER kill a client that is waiting on the
+# axon tunnel. The relay is single-tenant; killing a client mid-attach can
+# leave it holding a dead grant and re-wedge the tunnel for hours. This
+# version never sends a signal to the trainer — it only relaunches when the
+# client exits on its own (crash, OOM, completed horizon), and it stops once
+# the final 20k-iteration checkpoint exists. exp.resume=True (the config
+# default) makes every relaunch continue from the latest checkpoint in
+# model_dir.
 set -u
 LOG=/root/repo/runs/train_r4.log
+MODEL_DIR=/root/repo/runs/maestro22k_8s_r4
+DONE_CKPT="$MODEL_DIR/22k_8s-20000.ckpt"
 cd /root/repo
-while true; do
-  : > "$LOG"
+
+launch() {
   python train.py exp=maestro22k_8s dset=maestro_allyears \
     dset.path=/root/repo/runs/corpus22k \
-    model_dir=/root/repo/runs/maestro22k_8s_r4 \
+    model_dir="$MODEL_DIR" \
     exp.total_its=20000 exp.skip_grad_norm=10 \
     logging.save_interval=2500 logging.remove_last_checkpoint=False \
     logging.heavy_log_interval=10000 logging.log_interval=100 \
     logging.print_model_summary=False >> "$LOG" 2>&1 &
   PID=$!
   echo "$PID" > /tmp/train_r4.pid
-  attached=0
-  for i in $(seq 1 20); do
-    sleep 30
-    if grep -q "devices:" "$LOG"; then attached=1; break; fi
-    if ! kill -0 "$PID" 2>/dev/null; then break; fi
-  done
-  if [ "$attached" = "1" ]; then
-    wait "$PID"
-    echo "rc=$?" >> "$LOG"
+  echo "[watchdog] launched trainer pid=$PID $(date -u +%FT%TZ)" >> "$LOG"
+}
+
+PID=$(cat /tmp/train_r4.pid 2>/dev/null || echo 0)
+while true; do
+  if [ -d "$DONE_CKPT" ]; then
+    echo "[watchdog] run complete ($DONE_CKPT exists); exiting" >> "$LOG"
     exit 0
   fi
-  # never attached (tunnel wedged) or crashed pre-attach: clean up, retry
-  kill -9 "$PID" 2>/dev/null
-  sleep 240
+  if [ "$PID" -gt 0 ] && kill -0 "$PID" 2>/dev/null; then
+    sleep 60
+    continue
+  fi
+  launch
+  sleep 60
 done
