@@ -8,12 +8,17 @@ gap-LSD per checkpoint. This is the training-evidence ledger the reference
 never ships (it has no metrics at all): monotone improvement over iterations
 is the acceptance for a believed-at-scale training run.
 
+Alongside the per-gap SNR/LSD it reports a set-level FAD (in-repo log-mel
+embedder, reconstructed-vs-clean full signals) per checkpoint, and writes the
+whole table to ``{model_dir}/eval_ledger.json``.
+
 Usage:
   python scripts/eval_checkpoints.py <model_dir> <corpus_root> [n_clips] \
       [override ...]
 Env: EVAL_WAV_DIR (dump orig/masked/reconstructed wavs per checkpoint here)
 """
 import glob
+import json
 import os
 import re
 import sys
@@ -82,7 +87,11 @@ def main():
     assert ckpts, f"no checkpoints under {model_dir}"
     wav_dir = os.environ.get("EVAL_WAV_DIR", "")
 
-    print(f"{'it':>8} {'gap SNR dB':>11} {'gap LSD':>9}  per-clip SNR")
+    clean_emb = np.concatenate(
+        [metrics.logmel_embedder(clean[i], fs) for i in range(len(clean))])
+
+    print(f"{'it':>8} {'gap SNR dB':>11} {'gap LSD':>9} {'FAD':>8}"
+          "  per-clip SNR")
     rows = []
     import orbax.checkpoint as ocp
     for ck in ckpts:
@@ -96,8 +105,13 @@ def main():
                 for i in range(clean.shape[0])]
         lsds = [metrics.lsd(clean[i, g], rec[i, g])
                 for i in range(clean.shape[0])]
-        rows.append((it, float(np.mean(snrs)), float(np.mean(lsds))))
-        print(f"{it:>8} {np.mean(snrs):>11.2f} {np.mean(lsds):>9.3f}  "
+        rec_emb = np.concatenate(
+            [metrics.logmel_embedder(rec[i], fs) for i in range(len(rec))])
+        fad = metrics.fad_from_embeddings(rec_emb, clean_emb)
+        rows.append((it, float(np.mean(snrs)), float(np.mean(lsds)),
+                     float(fad)))
+        print(f"{it:>8} {np.mean(snrs):>11.2f} {np.mean(lsds):>9.3f} "
+              f"{fad:>8.3f}  "
               + " ".join(f"{v:.2f}" for v in snrs), flush=True)
         if wav_dir:
             os.makedirs(wav_dir, exist_ok=True)
@@ -111,10 +125,18 @@ def main():
                     audio_io.write(os.path.join(
                         wav_dir, f"clip{i}_masked.wav"), clean[i] * mask[i],
                         fs)
-    print("\n| it | gap SNR (dB) | gap LSD |")
-    print("|---|---|---|")
-    for it, sn, ls in rows:
-        print(f"| {it} | {sn:.2f} | {ls:.3f} |")
+    print("\n| it | gap SNR (dB) | gap LSD | FAD (logmel) |")
+    print("|---|---|---|---|")
+    for it, sn, ls, fd in rows:
+        print(f"| {it} | {sn:.2f} | {ls:.3f} | {fd:.3f} |")
+    ledger = os.path.join(model_dir, "eval_ledger.json")
+    with open(ledger, "w") as f:
+        json.dump({"workload": "guided inpainting T=35 order-2 xi=0.25, "
+                               "1.5 s center gap",
+                   "n_clips": int(clean.shape[0]),
+                   "columns": ["it", "gap_snr_db", "gap_lsd", "fad_logmel"],
+                   "rows": rows}, f, indent=1)
+    print(f"ledger -> {ledger}")
 
 
 if __name__ == "__main__":
