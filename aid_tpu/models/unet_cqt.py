@@ -31,6 +31,7 @@ import os as _os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -109,14 +110,25 @@ def _as_dense(w, dtype):
     return w.astype(dtype)
 
 
+def _name_conv_out(y):
+    """Tag a conv/dot output for the selective remat policy.
+
+    ``checkpoint_name`` is a transparent identity everywhere except under
+    ``nn.remat(..., policy=save_only_these_names("conv_out"))`` (training
+    with network.remat_policy=conv), where it marks the MXU outputs as the
+    residuals to stash — backward then recomputes only the cheap
+    norm/gelu/gate elementwise chain instead of re-running the convs."""
+    return jax.ad_checkpoint.checkpoint_name(y, "conv_out")
+
+
 def _conv_same(x, w, dilation, q8: bool):
     """Stride-1 SAME NHWC conv, int8-quantized when q8 (serving hot path)."""
     if q8:
         from aid_tpu.ops.qconv import qconv
-        return qconv(x, w, tuple(int(v) for v in dilation))
-    return jax.lax.conv_general_dilated(
+        return _name_conv_out(qconv(x, w, tuple(int(v) for v in dilation)))
+    return _name_conv_out(jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME", rhs_dilation=tuple(dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
 
 
 class Conv2dFT(nn.Module):
@@ -155,6 +167,7 @@ class Conv2dFT(nn.Module):
                 y = qdot(x, w if is_qw else w[0, 0])
             else:
                 y = jnp.einsum("bftc,cn->bftn", x, w[0, 0])
+            y = _name_conv_out(y)
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros_init(),
                                (self.features,))
@@ -764,9 +777,9 @@ class AdaLNResBlock(nn.Module):
                 g = _gelu(_norm_adaln_scale_folded(h, ng, gamma, Bsz,
                                                    cur_d, Fz), self.gelu)
                 wk = _as_dense(ConvParam(N, N, name=f"conv_{i}")(), self.dtype)
-                y = jax.lax.conv_general_dilated(
+                y = _name_conv_out(jax.lax.conv_general_dilated(
                     g, _folded_band_weights(wk, Fz), (1,), "SAME",
-                    dimension_numbers=("NWC", "WIO", "NWC"))
+                    dimension_numbers=("NWC", "WIO", "NWC")))
                 sc = jnp.repeat(jnp.tile(scale, (1, Fz)), cur_d, axis=0)
                 h = (h0 + y * sc[:, None, :]) / math.sqrt(2.0)
                 continue
@@ -937,6 +950,7 @@ def _log_effective_formulation(net: "UnetCQT") -> None:
         ("quant", _os.environ.get("AID_TPU_QUANT", net.quant)),
         ("dtype", jnp.dtype(net.dtype).name),
         ("remat", net.remat),
+        ("remat_policy", net.remat_policy),
     )
     if eff not in _logged_formulations:
         _logged_formulations.add(eff)
@@ -964,6 +978,8 @@ class UnetCQT(nn.Module):
     use_fencoding: bool = False
     num_bottleneck_layers: int = 1
     remat: bool = False   # rematerialize each res block (trade FLOPs for HBM
+    remat_policy: str = "block"  # block: stash only block inputs; conv: stash
+    #   conv/dot outputs too and recompute only the elementwise chain
     use_pallas: bool = False  # fused norm+adaLN+gelu pallas kernel
     conv_foldf: bool = False  # freq-pair lane packing for C<=64 convs
     pack_stack: bool = False  # persistent pair-packed stacks at C<=64 levels
@@ -980,8 +996,21 @@ class UnetCQT(nn.Module):
         O = self.cqt.num_octs
         bins = self.cqt.bins_per_oct
         import functools as _ft
+        if not self.remat:
+            BlockCls = AdaLNResBlock
+        elif self.remat_policy == "conv":
+            BlockCls = nn.remat(
+                AdaLNResBlock,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out"))
+        elif self.remat_policy == "block":
+            BlockCls = nn.remat(AdaLNResBlock)
+        else:
+            raise ValueError(
+                f"network.remat_policy={self.remat_policy!r}: expected "
+                "'block' or 'conv'")
         Block = _ft.partial(
-            nn.remat(AdaLNResBlock) if self.remat else AdaLNResBlock,
+            BlockCls,
             use_pallas=self.use_pallas,
             conv_foldf=self.conv_foldf, pack_stack=self.pack_stack,
             chain_regroup=self.chain_regroup,
@@ -1111,6 +1140,7 @@ def build_unet(args, device=None) -> UnetCQT:
         use_fencoding=net.use_fencoding,
         num_bottleneck_layers=getattr(net, "num_bottleneck_layers", 1),
         remat=bool(net.get("remat", False)),
+        remat_policy=str(net.get("remat_policy", "block")),
         use_pallas=bool(net.get("use_pallas_fused", False)),
         conv_foldf=bool(net.get("conv_foldf", False)),
         pack_stack=bool(net.get("conv_pack_stack", False)),

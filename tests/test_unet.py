@@ -319,3 +319,53 @@ def test_chain_stride_matches_default(monkeypatch, stride):
     g1 = np.asarray(jax.grad(lambda xx: jnp.sum(jnp.square(
         chained.apply(params, xx, emb))))(x))
     np.testing.assert_allclose(g1, g0, atol=2e-4)
+
+
+@pytest.mark.parametrize("policy", ["block", "conv"])
+def test_remat_policy_matches_no_remat(model_and_params, policy):
+    """network.remat / remat_policy change memory, never math: forward and
+    full param-gradients of the rematerialized model equal the plain one.
+
+    The 'conv' policy stashes the checkpoint_name-tagged conv/dot outputs
+    and recomputes only the elementwise chain — the training-side lever
+    (bench: scripts/bench_train.py BENCH_OVERRIDES=network.remat_policy=conv).
+    """
+    model, params, japply = model_and_params
+    rm = UnetCQT(
+        cqt=model.cqt, Ns=model.Ns, num_dils=model.num_dils,
+        attention_layers=model.attention_layers, attention=model.attention,
+        emb_dim=model.emb_dim, use_norm=model.use_norm,
+        use_fencoding=model.use_fencoding, remat=True, remat_policy=policy,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, TINY["audio_len"])),
+        jnp.float32)
+    cn = jnp.full((2, 1), -0.5)
+    y0 = np.asarray(japply(params, x, cn))
+    y1 = np.asarray(jax.jit(rm.apply)(params, x, cn))
+    np.testing.assert_allclose(y1, y0, atol=1e-5)
+
+    def loss(m):
+        def f(p):
+            return jnp.sum(jnp.square(m.apply(p, x, cn)))
+        return jax.jit(jax.grad(f))(params)
+
+    g0, g1 = loss(model), loss(rm)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    assert len(flat0) == len(flat1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_remat_policy_unknown_raises(model_and_params):
+    model, params, _ = model_and_params
+    bad = UnetCQT(
+        cqt=model.cqt, Ns=model.Ns, num_dils=model.num_dils,
+        attention_layers=model.attention_layers, attention=model.attention,
+        emb_dim=model.emb_dim, remat=True, remat_policy="typo",
+    )
+    x = jnp.zeros((1, TINY["audio_len"]))
+    with pytest.raises(ValueError, match="remat_policy"):
+        bad.apply(params, x, jnp.zeros((1, 1)))
