@@ -18,6 +18,7 @@ from __future__ import annotations
 import glob
 import os
 import re
+import sys
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -449,7 +450,29 @@ class Trainer:
                 wandb_audio[f"demo/uncond_{i}"] = (xi, fs)
             self._log_wandb_audio(wandb_audio, it)
         except Exception as e:  # demos must never kill training
-            print(f"[heavy_logging] skipped: {e}")
+            print(f"[heavy_logging] skipped: {e}", flush=True)
+            self._assert_backend_alive()
+            # one demo failure is tolerable; a second would be too (and a
+            # backend-level failure often recurs) — stand down for this process
+            self.tester = None
+            print("[heavy_logging] disabled for the rest of this process",
+                  flush=True)
+
+    def _assert_backend_alive(self) -> None:
+        """After a caught device-side exception, probe the backend with a
+        trivial op. Some device errors (seen: axon UNIMPLEMENTED during a demo
+        sample at it 10000, 2026-08-20) poison the runtime so the NEXT
+        dispatch — e.g. train_step's jax.random.split — dies with an unrelated
+        traceback. Exiting here instead lets the relaunch watchdog resume from
+        the latest checkpoint with an honest log line."""
+        try:
+            jax.block_until_ready(jnp.zeros(()) + 1.0)
+        except Exception as probe_err:
+            print(f"[trainer] device backend is poisoned after a caught "
+                  f"error ({probe_err!r}); exiting so the watchdog can "
+                  f"relaunch from the latest checkpoint", flush=True)
+            sys.stdout.flush()
+            os._exit(42)
 
     def _upload_profile_artifact(self) -> None:
         """Attach the captured jax.profiler trace to the wandb run as an

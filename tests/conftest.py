@@ -48,6 +48,7 @@ MEDIUM = {
     "tests/test_fsdp.py::test_fsdp_trajectory_matches_replicated",
     "tests/test_graft_entry.py::test_dryrun_multichip_respawns_from_unsuitable_backend",
     "tests/test_model_parity.py::test_full_model_matches_torch_reference",
+    "tests/test_trainer.py::test_heavy_logging_failure_disables_demos_not_training",
     "tests/test_pallas.py::test_fused_matches_unfused_grads",
     "tests/test_parallel.py::test_model_context_parallel_attention",
     "tests/test_parallel.py::test_ring_attention_matches_dense",

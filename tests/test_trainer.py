@@ -256,6 +256,30 @@ def test_heavy_logging_writes_artifacts(tmp_path_factory):
     assert len(wavs) == 2, os.listdir(d)
 
 
+def test_heavy_logging_failure_disables_demos_not_training(tmp_path_factory):
+    # 2026-08-20 incident: an axon UNIMPLEMENTED inside the demo sampler was
+    # caught, but the trainer kept re-attempting demos and the poisoned
+    # backend killed the next train_step. Contract now: one demo failure →
+    # probe the backend, disable further demos, keep training.
+    tmp = str(tmp_path_factory.mktemp("heavy_fail"))
+    args = _tiny_args(tmp, batch=8, its=1)
+    bundle = asetup.setup_network(args)
+    ediff = asetup.setup_diff_parameters(args)
+
+    class _BoomTester:
+        def sample_unconditional_ema(self, ema):
+            raise ValueError("UNIMPLEMENTED: TPU backend error")
+
+    tr = asetup.setup_trainer(args, dset=_SynthData(8, 2048), network=bundle,
+                              diff_params=ediff, tester=_BoomTester())
+    tr.init_state()
+    tr.heavy_logging()          # must not raise, must not os._exit
+    assert tr.tester is None    # demos stood down for this process
+    audio, fs = next(tr.dset)
+    tr.train_step(audio, fs)    # training continues on the healthy backend
+    tr.heavy_logging()          # further calls are clean no-ops
+
+
 def test_training_continues_after_resume(tmp_path):
     # round-2 regression: orbax restores optimizer state as generic dicts;
     # the first post-resume step must still run (Adam state re-wrapped)
