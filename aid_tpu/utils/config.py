@@ -115,8 +115,23 @@ def compose(
 
     tree: dict = dict(root)
     for group, name in group_choice.items():
-        path = os.path.join(config_dir, group, name + ".yaml")
-        tree[group] = _load_yaml(path)
+        # ``_alias: other`` files let the reference's own config names keep
+        # working verbatim (e.g. network=paper_1912_unet_cqt_oct_attention_
+        # adaLN_2 from /root/reference training.sh:28 resolves to
+        # cqtdiff_plus_22k), like the registry's callable-string aliases.
+        seen = set()
+        while True:
+            if name in seen:
+                raise ValueError(f"config alias cycle in group {group!r}: "
+                                 f"{sorted(seen)}")
+            seen.add(name)
+            path = os.path.join(config_dir, group, name + ".yaml")
+            loaded = _load_yaml(path)
+            target = loaded.pop("_alias", None)
+            if target is None:
+                break
+            name = str(target)
+        tree[group] = loaded
         tree[group]["name"] = tree[group].get("name", name)
 
     for key, val in dotted_overrides:

@@ -72,6 +72,35 @@ def test_io_logger_and_local_open_url(tmp_path):
         assert fh.read() == b"xyz"
 
 
+def test_reference_network_config_names_alias():
+    """The reference's own network config names (training.sh:28,
+    conf/network/*.yaml) resolve verbatim via ``_alias`` files, so a
+    reference user's command line works unchanged."""
+    pairs = [("paper_1912_unet_cqt_oct_attention_adaLN_2", "cqtdiff_plus_22k"),
+             ("paper_1912_unet_cqt_oct_attention_44k_2", "cqtdiff_plus_44k"),
+             ("paper_1912_unet_cqt_oct_noattention_adaln",
+              "cqtdiff_plus_22k_noattention")]
+    for ref_name, ours in pairs:
+        a = compose(overrides=[f"network={ref_name}"])
+        b = compose(overrides=[f"network={ours}"])
+        assert a.network.to_dict() == b.network.to_dict(), ref_name
+
+
+def test_config_alias_cycle_raises(tmp_path):
+    import os
+    import shutil
+    from aid_tpu.utils.config import DEFAULT_CONFIG_DIR
+    root = str(tmp_path / "configs")
+    shutil.copytree(DEFAULT_CONFIG_DIR, root)
+    with open(os.path.join(root, "network", "loop_a.yaml"), "w") as f:
+        f.write("_alias: loop_b\n")
+    with open(os.path.join(root, "network", "loop_b.yaml"), "w") as f:
+        f.write("_alias: loop_a\n")
+    import pytest
+    with pytest.raises(ValueError, match="alias cycle"):
+        compose(config_dir=root, overrides=["network=loop_a"])
+
+
 def test_every_group_file_composes_and_builds():
     """Every yaml in every config group composes cleanly and the factories
     construct from it (VERDICT round 1: reference-named variants like
