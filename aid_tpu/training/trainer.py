@@ -244,6 +244,16 @@ class Trainer:
         self.fsdp = bool(args.exp.get("mesh", {}).get("fsdp", False))
         self.it = 0
         self.total_its = int(self.exp.get("total_its", 10 ** 9))
+        # In-process stall detection (2026-08-20 incident: the single-tenant
+        # TPU tunnel dropped mid-run and the in-flight dispatch never
+        # returned — the trainer hung in a futex forever, which the external
+        # relaunch watchdog cannot see because the process stays alive). A
+        # daemon thread exits the process when no loop iteration completes
+        # within this window; resume-from-latest-checkpoint makes the
+        # relaunch lossless up to checkpoint cadence. 0 disables. The default
+        # must exceed every legitimate pause: remote XLA compile (~13 min),
+        # checkpoint save (~4 min), heavy_logging demo (~compile + sample).
+        self.stall_timeout_s = float(self.exp.get("stall_timeout_s", 1800.0))
 
         logging = args.logging
         self.log_interval = int(logging.get("log_interval", 1000))
@@ -540,6 +550,31 @@ class Trainer:
                                              rates)
         return metrics
 
+    def _start_stall_guard(self):
+        """Daemon thread: os._exit(3) when the training loop makes no
+        progress for stall_timeout_s. Returns the heartbeat the loop bumps
+        (a mutable [timestamp] cell), or None when disabled."""
+        if self.stall_timeout_s <= 0:
+            return None
+        import threading
+        beat = [time.time()]
+
+        def _guard():
+            while True:
+                time.sleep(min(30.0, self.stall_timeout_s / 4))
+                idle = time.time() - beat[0]
+                if idle > self.stall_timeout_s:
+                    print(f"[trainer] STALL: no loop progress in {idle:.0f}s "
+                          f"(> stall_timeout_s={self.stall_timeout_s:.0f}); "
+                          f"exiting so the watchdog can relaunch from the "
+                          f"latest checkpoint", flush=True)
+                    sys.stdout.flush()
+                    os._exit(3)
+
+        threading.Thread(target=_guard, daemon=True,
+                         name="stall-guard").start()
+        return beat
+
     def training_loop(self):
         if self.state is None:
             if bool(self.exp.get("resume", False)):
@@ -549,6 +584,7 @@ class Trainer:
                 self.init_state()
         it = int(jax.device_get(self.state.it))
         t0 = time.time()
+        beat = self._start_stall_guard()
         while it < self.total_its:
             if self.profile_enabled and it == self.profile_start:
                 jax.profiler.start_trace(self.profile_dir)
@@ -568,4 +604,6 @@ class Trainer:
                 self.save_checkpoint()
             if it % self.heavy_log_interval == 0:
                 self.heavy_logging()
+            if beat is not None:
+                beat[0] = time.time()
         return it

@@ -256,6 +256,46 @@ def test_heavy_logging_writes_artifacts(tmp_path_factory):
     assert len(wavs) == 2, os.listdir(d)
 
 
+def test_stall_guard_exits_on_stale_heartbeat(trainer, monkeypatch):
+    # 2026-08-20 incident: the TPU tunnel dropped mid-run, the in-flight
+    # dispatch never returned, and the trainer hung forever — invisible to
+    # the external relaunch watchdog. The in-process guard must exit(3) when
+    # the loop heartbeat goes stale.
+    import time
+    monkeypatch.setattr(trainer, "stall_timeout_s", 0.5)
+    calls = []
+
+    def fake_exit(code):
+        calls.append(code)
+        raise SystemExit  # stop the guard thread in the test
+
+    monkeypatch.setattr(os, "_exit", fake_exit)
+    beat = trainer._start_stall_guard()
+    assert beat is not None
+    deadline = time.time() + 10
+    while not calls and time.time() < deadline:
+        time.sleep(0.05)
+    assert calls == [3]
+
+
+def test_stall_guard_disabled_and_heartbeat_keeps_it_quiet(trainer,
+                                                           monkeypatch):
+    import time
+    monkeypatch.setattr(trainer, "stall_timeout_s", 0.0)
+    assert trainer._start_stall_guard() is None  # 0 disables
+
+    monkeypatch.setattr(trainer, "stall_timeout_s", 1.0)
+    calls = []
+    monkeypatch.setattr(os, "_exit",
+                        lambda code: (calls.append(code),
+                                      (_ for _ in ()).throw(SystemExit))[0])
+    beat = trainer._start_stall_guard()
+    for _ in range(6):  # a progressing loop bumps the beat: no exit
+        time.sleep(0.3)
+        beat[0] = time.time()
+    assert calls == []
+
+
 def test_heavy_logging_failure_disables_demos_not_training(tmp_path_factory):
     # 2026-08-20 incident: an axon UNIMPLEMENTED inside the demo sampler was
     # caught, but the trainer kept re-attempting demos and the poisoned
