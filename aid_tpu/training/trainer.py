@@ -36,11 +36,21 @@ from aid_tpu.training import utils as tutils
 
 
 class TrainState(struct.PyTreeNode):
-    """The full training state as one pytree (params/EMA/optimizer/step)."""
+    """The full training state as one pytree (params/EMA/optimizer/step).
+
+    ``gnorm_ema``/``applied`` exist for the skip-step guardrail: a running
+    estimate of the healthy pre-clip gradient-norm scale (0 = not yet
+    observed) and the count of steps actually applied (vs reverted). Both
+    are checkpointed; restoring an older checkpoint without them re-warms
+    the EMA within ~100 steps."""
     params: Any
     ema: Any
     opt_state: Any
     it: jnp.ndarray  # scalar int32
+    gnorm_ema: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.float32))
+    applied: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 def make_optimizer(exp) -> optax.GradientTransformation:
@@ -76,6 +86,7 @@ def make_train_step(
     ema_rate = float(exp.ema_rate)
     ema_rampup = exp.get("ema_rampup", None)
     skip_gnorm = float(exp.get("skip_grad_norm", 0) or 0)
+    skip_factor = float(exp.get("skip_grad_factor", 0) or 0)
     batch_global = int(exp.batch)
     target_fs = int(exp.sample_rate)
     aug_cfg = exp.get("augmentations", None)
@@ -130,16 +141,31 @@ def make_train_step(
         gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        skipped = jnp.zeros((), jnp.float32)
+        # Step-skip guardrail (off by default — the reference has only the
+        # clip, trainer.py:277-278): a pathological pre-clip gradient keeps
+        # params AND optimizer moments untouched, so one bad batch can't
+        # pollute the Adam state. Two modes:
+        #   exp.skip_grad_norm   — absolute threshold. Hour-scale lesson
+        #     (20k-it flagship run, 2026-08-20): the healthy gnorm scale
+        #     DRIFTS over training (0.4 -> O(100) by it 9k with flat loss),
+        #     so a fixed threshold silently froze the run — Adam count 8668
+        #     at it 20000, ~99% of late steps reverted. Keep only for runs
+        #     where the scale is known a priori.
+        #   exp.skip_grad_factor — relative threshold: skip when gnorm >
+        #     factor x a running EMA of past finite gnorms. The EMA update is
+        #     winsorized at the same cap, so persistent drift raises the
+        #     estimate (no freeze by construction) while isolated spikes
+        #     (measured: 10992 at it 9900 against an O(100) scale) are
+        #     rejected and never move it much.
+        finite = jnp.isfinite(gnorm)
+        ok = finite
         if skip_gnorm > 0:
-            # step-skip guardrail (exp.skip_grad_norm; off by default — the
-            # reference has only the clip, trainer.py:277-278): a non-finite
-            # or exploding pre-clip gradient keeps params AND optimizer
-            # moments untouched, so one pathological batch can't pollute the
-            # Adam state. Motivated by a measured flagship bf16 divergence
-            # (PARITY.md round 4: gnorm 0.4 -> 1e5 over ~2k its).
-            ok = jnp.isfinite(gnorm) & (gnorm < skip_gnorm)
-            skipped = 1.0 - ok.astype(jnp.float32)
+            ok = ok & (gnorm < skip_gnorm)
+        warm = state.gnorm_ema > 0.0
+        if skip_factor > 0:
+            ok = ok & ((~warm) | (gnorm < skip_factor * state.gnorm_ema))
+        skipped = 1.0 - ok.astype(jnp.float32)
+        if skip_gnorm > 0 or skip_factor > 0:
             params = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old),
                 params, state.params)
@@ -147,6 +173,20 @@ def make_train_step(
                 lambda new, old: jnp.where(ok, new, old) if hasattr(
                     new, "dtype") else new,
                 opt_state, state.opt_state)
+            applied_inc = ok.astype(jnp.int32)
+        else:
+            skipped = jnp.zeros((), jnp.float32)
+            applied_inc = jnp.ones((), jnp.int32)
+        # EMA adaptation ceiling is beta*(factor-1) per step (winsorized
+        # observations): beta=0.02, factor=20 tracks up to ~38%/step drift —
+        # the measured organic drift is ~0.1%/step, a sustained level SHIFT
+        # of kx un-freezes after ~ln(k)/ln(1+beta*(factor-1)) steps.
+        g_obs = jnp.where(finite, gnorm, state.gnorm_ema)
+        if skip_factor > 0:
+            cap = skip_factor * state.gnorm_ema
+            g_obs = jnp.where(warm & (g_obs > cap), cap, g_obs)
+        gnorm_ema = jnp.where(warm, 0.98 * state.gnorm_ema + 0.02 * g_obs,
+                              g_obs)
 
         # EMA with rampup (reference trainer.py:291-304), computed in-graph so
         # the whole iteration stays one program.
@@ -158,6 +198,7 @@ def make_train_step(
         metrics = {
             "loss": loss,
             "grad_norm": gnorm,
+            "gnorm_ema": gnorm_ema,
             "skipped": skipped,
             "sigma_bins": tstats.sigma_binned_moments(per_sample, sigma, edges),
             "loss_moments": tstats.moments(per_sample),
@@ -169,7 +210,8 @@ def make_train_step(
                 for k, v in grads.get("params", grads).items()},
         }
         new_state = TrainState(params=params, ema=ema, opt_state=opt_state,
-                               it=state.it + 1)
+                               it=state.it + 1, gnorm_ema=gnorm_ema,
+                               applied=state.applied + applied_inc)
         return new_state, metrics
 
     return step
@@ -314,7 +356,9 @@ class Trainer:
         state = TrainState(params=params,
                            ema=jax.tree_util.tree_map(jnp.copy, params),
                            opt_state=self.tx.init(params),
-                           it=jnp.asarray(0, jnp.int32))
+                           it=jnp.asarray(0, jnp.int32),
+                           gnorm_ema=jnp.zeros((), jnp.float32),
+                           applied=jnp.zeros((), jnp.int32))
         self.state = self._place_state(state)
         return self.state
 
@@ -349,6 +393,8 @@ class Trainer:
             "network": pmesh.gather_to_host(self.state.params),
             "ema": pmesh.gather_to_host(self.state.ema),
             "optimizer": pmesh.gather_to_host(self.state.opt_state),
+            "gnorm_ema": float(jax.device_get(self.state.gnorm_ema)),
+            "applied": int(jax.device_get(self.state.applied)),
         }
         self.ckpt.save(path, payload, force=True)
         if self.remove_last:
@@ -405,7 +451,13 @@ class Trainer:
         state = TrainState(
             params=params, ema=ema,
             opt_state=opt_state if opt_state is not None else self.tx.init(params),
-            it=jnp.asarray(it, jnp.int32))
+            it=jnp.asarray(it, jnp.int32),
+            # absent in pre-guardrail checkpoints: EMA re-warms from the
+            # first step; ``applied`` starts at ``it`` (interval skip
+            # fractions stay correct — only deltas are reported)
+            gnorm_ema=jnp.asarray(float(restored.get("gnorm_ema", 0.0)),
+                                  jnp.float32),
+            applied=jnp.asarray(int(restored.get("applied", it)), jnp.int32))
         self.state = self._place_state(state)
         self.bundle.params = self.state.params
         self.it = it
@@ -422,6 +474,7 @@ class Trainer:
         out = {
             "loss": float(np.asarray(metrics["loss"])),
             "grad_norm": float(np.asarray(metrics["grad_norm"])),
+            "grad_norm_ema": float(np.asarray(metrics.get("gnorm_ema", 0.0))),
         }
         for k, v in metrics.get("grad_norms_by_module", {}).items():
             out[f"grads/{k}"] = float(np.asarray(v))
@@ -585,6 +638,8 @@ class Trainer:
         it = int(jax.device_get(self.state.it))
         t0 = time.time()
         beat = self._start_stall_guard()
+        last_applied = int(jax.device_get(self.state.applied))
+        last_logged_it = it
         while it < self.total_its:
             if self.profile_enabled and it == self.profile_start:
                 jax.profiler.start_trace(self.profile_dir)
@@ -597,8 +652,25 @@ class Trainer:
             if it % self.log_interval == 0 or it == 1:
                 scalars = self.easy_logging(metrics)
                 dt = time.time() - t0
+                applied = int(jax.device_get(self.state.applied))
+                d_app = applied - last_applied
+                d_it = max(it - last_logged_it, 1)
+                skip_pct = 100.0 * (1.0 - d_app / d_it)
+                last_applied, last_logged_it = applied, it
+                extra = f"  skip {skip_pct:.0f}%" if skip_pct > 0.5 else ""
                 print(f"it {it}  loss {scalars['loss']:.5f}  "
-                      f"gnorm {scalars['grad_norm']:.3f}  {dt:.2f}s", flush=True)
+                      f"gnorm {scalars['grad_norm']:.3f}"
+                      f"{extra}  {dt:.2f}s", flush=True)
+                if skip_pct >= 50.0:
+                    # the hour-scale failure mode this line exists for:
+                    # a guardrail threshold below the (drifting) healthy
+                    # gnorm scale silently freezes training
+                    print(f"[trainer] WARNING: guardrail skipped "
+                          f"{skip_pct:.0f}% of the last {d_it} steps "
+                          f"(gnorm_ema {scalars['grad_norm_ema']:.3f}) — "
+                          f"training is largely frozen; raise "
+                          f"exp.skip_grad_norm or switch to the relative "
+                          f"exp.skip_grad_factor", flush=True)
                 t0 = time.time()
             if self.save_model and it % self.save_interval == 0:
                 self.save_checkpoint()

@@ -129,6 +129,105 @@ def test_skip_step_guardrail(tmp_path_factory):
     assert any(not np.array_equal(a, b) for a, b in zip(q0, q1))
 
 
+def test_skip_factor_guardrail(tmp_path_factory):
+    """exp.skip_grad_factor: the RELATIVE guardrail rejects isolated spikes
+    against a running gnorm EMA but keeps applying steps as the healthy
+    scale drifts — the absolute threshold froze a 20k-it flagship run
+    (~99% of late steps reverted; Adam count 8668 at it 20000)."""
+    tmp = str(tmp_path_factory.mktemp("skipfac"))
+    args = _tiny_args(tmp, its=30)
+    args.exp["skip_grad_norm"] = 0
+    args.exp["skip_grad_factor"] = 8.0
+    bundle = asetup.setup_network(args)
+    ediff = asetup.setup_diff_parameters(args)
+    tr = asetup.setup_trainer(args, dset=_SynthData(8, 2048), network=bundle,
+                              diff_params=ediff)
+    tr.init_state()
+    for _ in range(3):          # warm the EMA on healthy batches
+        m = tr.train_step(*tr.get_batch())
+    assert float(np.asarray(m["skipped"])) == 0.0
+    ema0 = float(np.asarray(m["gnorm_ema"]))
+    assert ema0 > 0.0
+    assert int(jax.device_get(tr.state.applied)) == 3
+
+    # a spiked batch must be rejected: params untouched, EMA barely moved
+    # (winsorized update: at most the factor-cap enters the average)
+    p0 = [np.asarray(l).copy()
+          for l in jax.tree_util.tree_leaves(tr.state.params)]
+    audio, fs = tr.get_batch()
+    m = tr.train_step(audio * 1e4, fs)
+    assert float(np.asarray(m["skipped"])) == 1.0
+    assert int(jax.device_get(tr.state.applied)) == 3
+    for a, b in zip(p0, jax.tree_util.tree_leaves(tr.state.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    ema1 = float(np.asarray(m["gnorm_ema"]))
+    assert ema1 <= ema0 * (0.98 + 0.02 * 8.0) + 1e-6
+
+    # the next healthy batch applies again — no freeze
+    m = tr.train_step(*tr.get_batch())
+    assert float(np.asarray(m["skipped"])) == 0.0
+    assert int(jax.device_get(tr.state.applied)) == 4
+
+    # a sustained level SHIFT cannot freeze training: the winsorized EMA
+    # update keeps raising the cap ~14%/step (beta=0.02, factor=8) even
+    # while steps are being skipped, so after a one-time 3x amplitude jump
+    # the guardrail must re-open within tens of steps and stay open
+    applied_before = int(jax.device_get(tr.state.applied))
+    recent = []
+    for _ in range(40):
+        audio, fs = tr.get_batch()
+        m = tr.train_step(audio * 3.0, fs)
+        recent.append(1.0 - float(np.asarray(m["skipped"])))
+    applied = int(jax.device_get(tr.state.applied))
+    assert applied > applied_before, "level shift froze training entirely"
+    assert sum(recent[-8:]) >= 7, (
+        f"guardrail still mostly closed after 40 steps: last8={recent[-8:]}")
+
+
+def test_guardrail_state_checkpoint_roundtrip(tmp_path_factory):
+    """gnorm_ema/applied survive save+resume; checkpoints written before the
+    guardrail state existed (no such keys) still restore."""
+    tmp = str(tmp_path_factory.mktemp("gr_ckpt"))
+    args = _tiny_args(tmp)
+    args.exp["skip_grad_factor"] = 8.0
+    bundle = asetup.setup_network(args)
+    ediff = asetup.setup_diff_parameters(args)
+    tr = asetup.setup_trainer(args, dset=_SynthData(8, 2048), network=bundle,
+                              diff_params=ediff)
+    tr.init_state()
+    for _ in range(2):
+        tr.train_step(*tr.get_batch())
+    ema_val = float(jax.device_get(tr.state.gnorm_ema))
+    assert ema_val > 0.0
+    path = tr.save_checkpoint()
+
+    args2 = _tiny_args(tmp)
+    args2.exp["skip_grad_factor"] = 8.0
+    bundle2 = asetup.setup_network(args2)
+    tr2 = asetup.setup_trainer(args2, dset=_SynthData(8, 2048),
+                               network=bundle2, diff_params=ediff)
+    assert tr2.resume_from_checkpoint(path)
+    assert float(jax.device_get(tr2.state.gnorm_ema)) == pytest.approx(
+        ema_val, rel=1e-6)
+    assert int(jax.device_get(tr2.state.applied)) == 2
+    tr2.train_step(*tr2.get_batch())  # and training continues
+
+    # legacy payload without the guardrail keys
+    import orbax.checkpoint as ocp
+    legacy = os.path.join(tmp, "legacy-7.ckpt")
+    ocp.PyTreeCheckpointer().save(
+        os.path.abspath(legacy),
+        {"it": 7, "network": jax.device_get(tr.state.params),
+         "ema": jax.device_get(tr.state.ema),
+         "optimizer": jax.device_get(tr.state.opt_state)}, force=True)
+    tr3 = asetup.setup_trainer(args2, dset=_SynthData(8, 2048),
+                               network=bundle2, diff_params=ediff)
+    assert tr3.resume_from_checkpoint(legacy)
+    assert float(jax.device_get(tr3.state.gnorm_ema)) == 0.0
+    assert int(jax.device_get(tr3.state.applied)) == 7
+    tr3.train_step(*tr3.get_batch())
+
+
 def test_checkpoint_roundtrip(trainer):
     path = trainer.save_checkpoint()
     assert os.path.exists(path)
