@@ -10,19 +10,24 @@
 # default) makes every relaunch continue from the latest checkpoint in
 # model_dir.
 set -u
-LOG=/root/repo/runs/train_r4.log
-MODEL_DIR=/root/repo/runs/maestro22k_8s_r4
-DONE_CKPT="$MODEL_DIR/22k_8s-20000.ckpt"
+LOG=${LOG:-/root/repo/runs/train_r4.log}
+MODEL_DIR=${MODEL_DIR:-/root/repo/runs/maestro22k_8s_r4}
+TOTAL_ITS=${TOTAL_ITS:-20000}
+# adaptive guardrail (exp.skip_grad_factor, config default) — the absolute
+# exp.skip_grad_norm=10 froze the first 20k-it run (~99% of late steps
+# reverted once the healthy gnorm scale drifted above 10)
+EXTRA=${EXTRA:-}
+DONE_CKPT="$MODEL_DIR/22k_8s-$TOTAL_ITS.ckpt"
 cd /root/repo
 
 launch() {
   python train.py exp=maestro22k_8s dset=maestro_allyears \
     dset.path=/root/repo/runs/corpus22k \
     model_dir="$MODEL_DIR" \
-    exp.total_its=20000 exp.skip_grad_norm=10 \
+    exp.total_its=$TOTAL_ITS \
     logging.save_interval=2500 logging.remove_last_checkpoint=False \
     logging.heavy_log_interval=10000 logging.log_interval=100 \
-    logging.print_model_summary=False >> "$LOG" 2>&1 &
+    logging.print_model_summary=False $EXTRA >> "$LOG" 2>&1 &
   PID=$!
   echo "$PID" > /tmp/train_r4.pid
   echo "[watchdog] launched trainer pid=$PID $(date -u +%FT%TZ)" >> "$LOG"
