@@ -120,6 +120,7 @@ def compose(
         # adaLN_2 from /root/reference training.sh:28 resolves to
         # cqtdiff_plus_22k), like the registry's callable-string aliases.
         seen = set()
+        overlays = []  # sibling keys of _alias files, most-specific first
         while True:
             if name in seen:
                 raise ValueError(f"config alias cycle in group {group!r}: "
@@ -130,7 +131,14 @@ def compose(
             target = loaded.pop("_alias", None)
             if target is None:
                 break
+            if loaded:
+                # an alias file may carry overrides next to _alias (e.g.
+                # `_alias: cqtdiff_plus_22k` + `depth: 5`): deep-merge them
+                # over the resolved target, most-specific file winning
+                overlays.append(loaded)
             name = str(target)
+        for over in reversed(overlays):
+            loaded = _deep_merge(loaded, over)
         tree[group] = loaded
         tree[group]["name"] = tree[group].get("name", name)
 

@@ -1,13 +1,24 @@
-"""Headline benchmark: long-gap inpainting real-time factor on one TPU chip.
+"""Headline benchmark suite: inpainting/sampling real-time factors on one TPU.
 
-Reproduces the reference's hot path (BASELINE.md: T=35 2nd-order stochastic
-Heun, reconstruction guidance xi=0.25 => 2T-1 denoiser forwards AND backward
-passes per segment, data-consistency projection every step, 1500 ms center gap
-on a 184184-sample 22.05 kHz segment) with random-init weights (identical
-FLOPs to trained ones) and prints ONE JSON line:
+Headline (the driver-tracked metric): long-gap inpainting RTF — the
+reference's hot path (BASELINE.md: T=35 2nd-order stochastic Heun,
+reconstruction guidance xi=0.25 => 2T-1 denoiser forwards AND backward passes
+per segment, data-consistency projection every step, 1500 ms center gap on a
+184184-sample 22.05 kHz segment) with random-init weights (identical FLOPs to
+trained ones).
 
-  {"metric": "inpaint_rtf", "value": <audio-seconds per wall-second>,
-   "unit": "x_realtime", "vs_baseline": <value / 10.0>}
+With BENCH_SUITE=full (default) the same run also measures the rest of the
+reference's workload envelope (VERDICT r4 weak #5 — these existed only as
+PARITY prose before):
+  * shortgaps: T=70, 4x25 ms gaps (reference
+    conf/tester/inpainting_tester_shortgaps.yaml:21, tester_inpainting.py)
+  * uncond:    T=35 unconditional sampling (no guidance backward passes)
+  * 44k:       the musicnet 44.1 kHz flagship, same guided long-gap task
+Each extra is best-effort (failure or exceeding BENCH_BUDGET_S skips the
+rest); the output stays ONE JSON line:
+
+  {"metric": "inpaint_rtf", "value": N, "unit": "x_realtime",
+   "vs_baseline": N / 10.0, "extras": {"shortgaps_rtf": ..., ...}}
 
 vs_baseline is against the driver-set north star of 10x real time per chip
 (BASELINE.md "North star"; the reference repo publishes no perf numbers).
@@ -18,6 +29,8 @@ import time
 
 import numpy as np
 
+T0 = time.time()
+
 
 def main() -> None:
     # batch 2 is the measured throughput optimum on one v5e for the flagship
@@ -25,6 +38,8 @@ def main() -> None:
     # 3 -> 1.975x, 4 -> 1.90x aggregate RT; 3+ goes HBM-bound)
     batch = int(os.environ.get("BENCH_BATCH", "2"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    suite = os.environ.get("BENCH_SUITE", "full")
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     # BENCH_DEVICES=n: data-parallel serving over an n-device dp mesh
     # (aggregate RTF; per-window batch stays BENCH_BATCH per device). On the
     # 1-chip harness this is validated with virtual CPU devices:
@@ -71,12 +86,6 @@ def main() -> None:
     from aid_tpu import setup as asetup
 
     overrides = [o for o in os.environ.get("BENCH_OVERRIDES", "").split() if o]
-    args = compose(overrides=overrides)
-    audio_len = int(args.exp.audio_len)
-    fs = float(args.exp.sample_rate)
-
-    bundle = asetup.setup_network(args)
-    ediff = asetup.setup_diff_parameters(args)
 
     # BENCH_TP=k: tensor-parallel latency mode — each score call split over
     # k chips (Megatron-style kernel sharding, aid_tpu/parallel/tp.py);
@@ -97,52 +106,102 @@ def main() -> None:
         n_dev = int(mesh.devices.size)
         batch = batch * n_dev  # global batch: BENCH_BATCH windows per device
 
-    bundle.init(jax.random.PRNGKey(0), batch, audio_len)
-    if mesh is not None:
-        if n_tp > 1:
-            from aid_tpu.parallel import tp as ptp
-            bundle.params = ptp.place_params(bundle.params, mesh)
-        else:
+    def build(extra_overrides):
+        args = compose(overrides=list(extra_overrides) + overrides)
+        bundle = asetup.setup_network(args)
+        ediff = asetup.setup_diff_parameters(args)
+        L = int(args.exp.audio_len)
+        bundle.init(jax.random.PRNGKey(0), batch, L)
+        if mesh is not None:
+            if n_tp > 1:
+                from aid_tpu.parallel import tp as ptp
+                bundle.params = ptp.place_params(bundle.params, mesh)
+            else:
+                from aid_tpu.parallel import mesh as pmesh
+                bundle.params = pmesh.replicate(mesh, bundle.params)
+        sampler = asetup.setup_sampler(args, network=bundle, diff_params=ediff)
+        return args, sampler, L, float(args.exp.sample_rate)
+
+    def place(x_np):
+        if mesh is not None:
             from aid_tpu.parallel import mesh as pmesh
-            bundle.params = pmesh.replicate(mesh, bundle.params)
+            return jax.device_put(x_np, pmesh.batch_sharding(mesh))
+        return jnp.asarray(x_np)
 
-    sampler = asetup.setup_sampler(args, network=bundle, diff_params=ediff)
+    def time_inpaint(sampler, L, fs, mask_np):
+        rng = np.random.default_rng(0)
+        y = place((rng.standard_normal((batch, L)) * 0.063
+                   ).astype(np.float32) * mask_np)
+        mask = place(mask_np)
+        key = jax.random.PRNGKey(1)
+        # warmup / compile. NOTE: on the axon tunnel block_until_ready() may
+        # return before remote execution finishes; a scalar readback is the
+        # only reliable sync (adds ~27 ms RTT, negligible vs seconds).
+        float(jnp.sum(sampler.predict_inpainting(y, mask, key)))
+        times = []
+        for i in range(reps):
+            t0 = time.time()
+            float(jnp.sum(sampler.predict_inpainting(
+                y, mask, jax.random.fold_in(key, i))))
+            times.append(time.time() - t0)
+        return batch * L / fs / min(times)
 
-    # 1500 ms center gap (reference conf/tester/inpainting_tester.yaml:74-77)
-    gap = int(1500 / 1000 * fs)
-    mask_np = np.ones((batch, audio_len), np.float32)
-    start = (audio_len - gap) // 2
-    mask_np[:, start:start + gap] = 0.0
-    rng = np.random.default_rng(0)
-    y_np = (rng.standard_normal((batch, audio_len)) * 0.063).astype(np.float32)
-    if mesh is not None:
-        from aid_tpu.parallel import mesh as pmesh
-        sh = pmesh.batch_sharding(mesh)
-        mask = jax.device_put(mask_np, sh)
-        y = jax.device_put(y_np, sh)
-    else:
-        mask = jnp.asarray(mask_np)
-        y = jnp.asarray(y_np)
-    y_masked = y * mask
+    def center_gap_mask(L, fs, gap_ms=1500.0):
+        gap = int(gap_ms / 1000 * fs)
+        m = np.ones((batch, L), np.float32)
+        s = (L - gap) // 2
+        m[:, s:s + gap] = 0.0
+        return m
 
-    key = jax.random.PRNGKey(1)
-    # warmup / compile. NOTE: on the axon tunnel block_until_ready() may
-    # return before remote execution finishes; a scalar readback is the only
-    # reliable sync (adds ~27 ms RTT, negligible vs seconds-long programs).
-    out = sampler.predict_inpainting(y_masked, mask, key)
-    float(jnp.sum(out))
+    # ----------------------------------------------------- headline: 22k gap
+    # (1500 ms center gap, reference conf/tester/inpainting_tester.yaml:74-77)
+    args, sampler, L, fs = build([])
+    rtf = time_inpaint(sampler, L, fs, center_gap_mask(L, fs))
 
-    times = []
-    for i in range(reps):
-        k = jax.random.fold_in(key, i)
-        t0 = time.time()
-        out = sampler.predict_inpainting(y_masked, mask, k)
-        float(jnp.sum(out))
-        times.append(time.time() - t0)
+    extras = {}
 
-    wall = min(times)
-    audio_seconds = batch * audio_len / fs
-    rtf = audio_seconds / wall
+    def left():
+        return budget_s - (time.time() - T0)
+
+    if suite == "full":
+        # ------------------------------------------- shortgaps: T=70, 4x25ms
+        # (reference conf/tester/inpainting_tester_shortgaps.yaml:21 + the
+        # 4x25 ms mask family of tester_inpainting.py shortgaps mode)
+        if left() > 0:
+            try:
+                _, s70, L1, fs1 = build(["tester=inpainting_tester_shortgaps"])
+                m = np.ones((batch, L1), np.float32)
+                gap = int(0.025 * fs1)
+                for c in (0.25, 0.45, 0.65, 0.85):
+                    s = int(c * L1)
+                    m[:, s:s + gap] = 0.0
+                extras["shortgaps_rtf"] = round(time_inpaint(s70, L1, fs1, m), 3)
+            except Exception as e:
+                extras["shortgaps_error"] = repr(e)[:120]
+        # ------------------------------------------------ unconditional T=35
+        if left() > 0:
+            try:
+                key = jax.random.PRNGKey(7)
+                float(jnp.sum(sampler.predict_unconditional((batch, L), key)))
+                ts = []
+                for i in range(reps):
+                    t0 = time.time()
+                    float(jnp.sum(sampler.predict_unconditional(
+                        (batch, L), jax.random.fold_in(key, i))))
+                    ts.append(time.time() - t0)
+                extras["uncond_rtf"] = round(batch * L / fs / min(ts), 3)
+            except Exception as e:
+                extras["uncond_error"] = repr(e)[:120]
+        # ------------------------------------------------------ 44k flagship
+        if left() > 0:
+            try:
+                _, s44, L2, fs2 = build(["exp=musicnet44k_4s",
+                                         "network=cqtdiff_plus_44k"])
+                extras["rtf_44k"] = round(
+                    time_inpaint(s44, L2, fs2, center_gap_mask(L2, fs2)), 3)
+            except Exception as e:
+                extras["rtf_44k_error"] = repr(e)[:120]
+
     line = {
         "metric": "inpaint_rtf",
         "value": round(rtf, 3),
@@ -153,6 +212,8 @@ def main() -> None:
         line["devices"] = n_dev  # aggregate RTF over the dp mesh
     if n_tp > 1:
         line["tp"] = n_tp        # per-score latency split over tp chips
+    if extras:
+        line["extras"] = extras
     print(json.dumps(line))
 
 

@@ -14,16 +14,20 @@ import sys
 
 
 def parse(path):
-    rows = []  # (it, loss, gnorm, interval_s)
+    rows = []  # (it, loss, gnorm, interval_s, skip_pct)
     events = []
+    # the optional "skip NN%" field appears exactly when the guardrail fired
+    # during the interval — those lines must not be dropped (advisor round 4)
     pat = re.compile(
-        r"^it (\d+)\s+loss ([\d.eE+-]+)\s+gnorm ([\d.naif]+)\s+([\d.]+)s")
+        r"^it (\d+)\s+loss ([\d.eE+-]+)\s+gnorm ([\d.naife+]+)"
+        r"(?:\s+skip (\d+)%)?(?:\s+top \S+)?\s+([\d.]+)s")
     with open(path) as f:
         for line in f:
             m = pat.match(line.strip())
             if m:
                 rows.append((int(m.group(1)), float(m.group(2)),
-                             m.group(3), float(m.group(4))))
+                             m.group(3), float(m.group(5)),
+                             int(m.group(4) or 0)))
             elif "checkpoint" in line or "watchdog" in line \
                     or "heavy_logging" in line:
                 events.append(line.strip())
@@ -47,11 +51,11 @@ def main():
           f"median {med / log_int * 1e3:.0f} ms/step; "
           f"total logged wall {tot / 3600:.2f} h "
           f"(overhead vs median-step: {tot - med * len(rows):.0f}s)")
-    print("\n| it | loss | gnorm | interval s |")
-    print("|---|---|---|---|")
-    for it, loss, gn, s in rows:
+    print("\n| it | loss | gnorm | skip % | interval s |")
+    print("|---|---|---|---|---|")
+    for it, loss, gn, s, skip in rows:
         if it % every == 0 or it == rows[-1][0]:
-            print(f"| {it} | {loss:.4f} | {gn} | {s:.1f} |")
+            print(f"| {it} | {loss:.4f} | {gn} | {skip} | {s:.1f} |")
     for e in events:
         print("  #", e)
     try:

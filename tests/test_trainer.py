@@ -374,6 +374,7 @@ def test_stall_guard_exits_on_stale_heartbeat(trainer, monkeypatch):
     deadline = time.time() + 10
     while not calls and time.time() < deadline:
         time.sleep(0.05)
+    trainer._stall_stop.set()  # retire the guard thread
     assert calls == [3]
 
 
@@ -392,31 +393,43 @@ def test_stall_guard_disabled_and_heartbeat_keeps_it_quiet(trainer,
     for _ in range(6):  # a progressing loop bumps the beat: no exit
         time.sleep(0.3)
         beat[0] = time.time()
+    # retire the guard before monkeypatch restores the real os._exit —
+    # a surviving thread would kill the whole pytest process ~30 min later
+    # once the restored stall_timeout elapsed (advisor round 4, medium)
+    trainer._stall_stop.set()
     assert calls == []
 
 
 def test_heavy_logging_failure_disables_demos_not_training(tmp_path_factory):
     # 2026-08-20 incident: an axon UNIMPLEMENTED inside the demo sampler was
     # caught, but the trainer kept re-attempting demos and the poisoned
-    # backend killed the next train_step. Contract now: one demo failure →
-    # probe the backend, disable further demos, keep training.
+    # backend killed the next train_step. Contract (r5): a demo failure →
+    # probe the backend, skip THIS demo, keep training; stand down only
+    # after 2 consecutive failures (VERDICT r4 weak #4: a single transient
+    # failure must not permanently disable the capability).
     tmp = str(tmp_path_factory.mktemp("heavy_fail"))
     args = _tiny_args(tmp, batch=8, its=1)
     bundle = asetup.setup_network(args)
     ediff = asetup.setup_diff_parameters(args)
 
     class _BoomTester:
+        calls = 0
+
         def sample_unconditional_ema(self, ema):
+            type(self).calls += 1
             raise ValueError("UNIMPLEMENTED: TPU backend error")
 
     tr = asetup.setup_trainer(args, dset=_SynthData(8, 2048), network=bundle,
                               diff_params=ediff, tester=_BoomTester())
     tr.init_state()
     tr.heavy_logging()          # must not raise, must not os._exit
-    assert tr.tester is None    # demos stood down for this process
+    assert tr._demo_failures == 1   # one strike; demos still enabled
     audio, fs = next(tr.dset)
     tr.train_step(audio, fs)    # training continues on the healthy backend
+    tr.heavy_logging()          # second consecutive failure → stand down
+    assert tr._demo_failures == 2
     tr.heavy_logging()          # further calls are clean no-ops
+    assert _BoomTester.calls == 2
 
 
 def test_training_continues_after_resume(tmp_path):
