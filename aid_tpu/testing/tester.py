@@ -35,6 +35,18 @@ class Tester:
                  test_set=None, in_training: bool = False, device=None):
         self.args = args
         self.t = args.tester
+        if in_training and bool(getattr(network.module, "remat", False)):
+            # The trainer's module carries remat=True (train.py flips it on
+            # to fit flagship training in HBM). Sampling neither needs remat
+            # nor tolerates it on this backend: every PROVEN on-chip sampler
+            # program (eval ledger, bench) is remat-free, while the r4/r5
+            # in-training demos — the only remat'd sampler programs ever
+            # compiled — died axon-UNIMPLEMENTED. Demo with a remat-free
+            # clone of the same module; params are swapped in per call by
+            # sample_unconditional_ema, so nothing else changes.
+            from aid_tpu.models.bundle import NetBundle
+            network = NetBundle(network.module.clone(remat=False),
+                                params=network.params, name=network.name)
         self.bundle = network
         self.diff_params = diff_params
         self.test_set = test_set
@@ -69,8 +81,8 @@ class Tester:
                 path, self.bundle)
             self.bundle.params = params
             return True
-        import orbax.checkpoint as ocp
-        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        from aid_tpu.utils import ckpt_io
+        restored = ckpt_io.load(path)
         self.bundle.params = restored.get("ema", restored.get("network"))
         return True
 

@@ -268,6 +268,7 @@ class Trainer:
         self.dset = dset
         self.tester = tester
         self._demo_failures = 0
+        self._pin_mmap_threshold()
         self.bundle = network            # NetBundle
         quant = os.environ.get("AID_TPU_QUANT",
                                str(args.network.get("quant", "none")))
@@ -384,20 +385,22 @@ class Trainer:
 
     def save_checkpoint(self) -> str:
         """Save {'it','network','optimizer','ema'} (reference layout,
-        trainer.py:187-207) plus the composed args as yaml."""
+        trainer.py:187-207). Streams one leaf at a time to disk
+        (utils/ckpt_io.py): the previous pre-gather + orbax path buffered the
+        ~3 GB flagship state several times over and spiked host RSS ~14 GB
+        per save — one round-4 relaunch was OOM-killed mid-save."""
+        from aid_tpu.utils import ckpt_io
         it = int(jax.device_get(self.state.it))
         path = self._ckpt_path(it)
-        # FSDP state on a multi-process mesh has non-addressable shards;
-        # gather_to_host allgathers those leaves (device_get would raise).
         payload = {
             "it": it,
-            "network": pmesh.gather_to_host(self.state.params),
-            "ema": pmesh.gather_to_host(self.state.ema),
-            "optimizer": pmesh.gather_to_host(self.state.opt_state),
+            "network": self.state.params,
+            "ema": self.state.ema,
+            "optimizer": self.state.opt_state,
             "gnorm_ema": float(jax.device_get(self.state.gnorm_ema)),
             "applied": int(jax.device_get(self.state.applied)),
         }
-        self.ckpt.save(path, payload, force=True)
+        ckpt_io.save_stream(path, payload)
         if self.remove_last:
             for old in self._checkpoints():
                 if old != path:
@@ -422,7 +425,8 @@ class Trainer:
             if not cks:
                 return False
             path = cks[-1]
-        restored = self.ckpt.restore(path)
+        from aid_tpu.utils import ckpt_io
+        restored = ckpt_io.load(path)
         params = restored["network"]
         ema = restored.get("ema", params)
         it = int(restored.get("it", 0))
@@ -486,12 +490,20 @@ class Trainer:
         it = int(jax.device_get(self.state.it))
         self.wandb.log(out, step=it)
         # loss-vs-sigma binned curve (reference trainer.py:306-335 +
-        # logging.py:127-135), written next to the checkpoints
-        from aid_tpu.utils import logging_utils as logu
-        logu.plot_loss_by_sigma(
-            self.bin_edges, self.collector.mean("loss_by_sigma"),
-            self.collector.std("loss_by_sigma"),
-            os.path.join(self.model_dir, "loss_by_sigma.png"))
+        # logging.py:127-135), written next to the checkpoints. Decimated to
+        # every 10th interval: a matplotlib draw inside the training loop
+        # measurably pins ~one interval's worth of freed host batch buffers
+        # per call (round-5 RSS ledger in PARITY.md — survives figure reuse,
+        # gc.collect+malloc_trim, and an mmap-threshold pin; isolated draws
+        # with identical data are clean). The curve is a trend plot; 10x
+        # coarser cadence loses nothing.
+        self._plot_count = getattr(self, "_plot_count", -1) + 1
+        if self._plot_count % 10 == 0:
+            from aid_tpu.utils import logging_utils as logu
+            logu.plot_loss_by_sigma(
+                self.bin_edges, self.collector.mean("loss_by_sigma"),
+                self.collector.std("loss_by_sigma"),
+                os.path.join(self.model_dir, "loss_by_sigma.png"))
         self.collector.flush()
         return out
 
@@ -575,6 +587,50 @@ class Trainer:
                         for k, (v) in named_clips.items()}, step=it)
 
     # ----------------------------------------------------------------- loop
+
+    @staticmethod
+    def _pin_mmap_threshold():
+        """Pin glibc's mmap threshold at 128 KiB (defeat the dynamic raise).
+
+        Round-5 root cause of the flagship run's unbounded host-RSS growth
+        (~15 GB/hour, 81.7 GB peak, one OOM-killed relaunch in r4): glibc
+        RAISES the mmap threshold once freed mmap'd chunks get reused, after
+        which the per-step host batch buffers (~3 MB flagship) are carved
+        from the main sbrk arena. Every log interval then interleaves ~100
+        freed batch-sized chunks with a few small LONG-LIVED allocations
+        (matplotlib caches) that land at the TOP of the heap — pinning the
+        whole interval's worth of freed memory below them, where neither
+        free() nor malloc_trim() can return it. live_arrays/tracemalloc both
+        showed flat usage while anon RSS climbed one interval-batch-volume
+        per interval. An explicit mallopt disables the dynamic raise, so
+        batch-scale buffers always come from mmap and return to the OS on
+        free. (M_MMAP_THRESHOLD = -3 in glibc's malloc.h.)"""
+        try:
+            import ctypes
+            ctypes.CDLL("libc.so.6").mallopt(-3, 128 * 1024)
+        except Exception:
+            pass
+
+    @staticmethod
+    def _trim_host_heap():
+        """Return freed-but-retained glibc arena pages to the OS. Round-5
+        finding: the flagship run's host RSS grew ~15 GB/hour of NOT-live
+        memory — jax.live_arrays() flat, python heap flat (tracemalloc), yet
+        anon RSS climbing; malloc_trim(0) recovered ~40% of a probe run's
+        RSS instantly. Called at log cadence (~every 47 s flagship): the
+        syscall costs ~ms and caps the growth the external watchdog used to
+        absorb as an OOM-kill + relaunch. gc.collect() first: the per-interval
+        loss-by-sigma figure leaves ~580 KB/call of REFERENCE CYCLES alive
+        after plt.close (matplotlib canvases are cycle-heavy and gen2
+        collections are rare in a loop allocating mostly arrays) — trim can
+        only return what the allocator has actually freed."""
+        try:
+            import gc
+            gc.collect()
+            import ctypes
+            ctypes.CDLL("libc.so.6").malloc_trim(0)
+        except Exception:
+            pass  # non-glibc platforms: the watchdog cycle still bounds RSS
 
     def get_batch(self):
         """Next host batch: (audio [B,T] or [n_accum,B,T], fs [B])."""
@@ -699,8 +755,10 @@ class Trainer:
                           f"exp.skip_grad_norm or switch to the relative "
                           f"exp.skip_grad_factor", flush=True)
                 t0 = time.time()
+                self._trim_host_heap()
             if self.save_model and it % self.save_interval == 0:
                 self.save_checkpoint()
+                self._trim_host_heap()
             if it % self.heavy_log_interval == 0:
                 self.heavy_logging()
             if beat is not None:

@@ -61,6 +61,15 @@ def plot_spectrogram_from_raw_audio(x, fs: int, out_path: str,
     return out_path
 
 
+# plot_loss_by_sigma runs EVERY log interval for the whole life of a training
+# run — unlike the other (occasional) plots it must not allocate a fresh
+# figure per call: create/close leaked ~25 MB per call in the training loop
+# (round-5 RSS investigation, PARITY.md — the source of the r4 run's
+# ~15 GB/hour host-RSS climb; gc.collect + malloc_trim did NOT recover it).
+# One persistent figure, cleared and redrawn, holds RSS flat.
+_LBS_FIG = []
+
+
 def plot_loss_by_sigma(bin_edges: Sequence[float], means: Sequence[float],
                        stds: Sequence[float], out_path: str) -> Optional[str]:
     """Loss-vs-sigma binned curve (reference :127-135 via plotly error_line)."""
@@ -72,13 +81,17 @@ def plot_loss_by_sigma(bin_edges: Sequence[float], means: Sequence[float],
         return None
     centers = np.sqrt(np.asarray(bin_edges[:-1]) * np.asarray(bin_edges[1:]))
     means = np.asarray(means); stds = np.asarray(stds)
-    fig, ax = plt.subplots(figsize=(7, 4))
+    if not _LBS_FIG:
+        from matplotlib.figure import Figure
+        _LBS_FIG.append(Figure(figsize=(7, 4)))  # no pyplot registry entry
+    fig = _LBS_FIG[0]
+    fig.clear()
+    ax = fig.add_subplot(111)
     ax.errorbar(centers, means, yerr=stds, marker="o", ms=3, lw=1, capsize=2)
     ax.set_xscale("log"); ax.set_yscale("log")
     ax.set_xlabel("sigma"); ax.set_ylabel("loss")
     fig.tight_layout()
     fig.savefig(out_path, dpi=90)
-    plt.close(fig)
     return out_path
 
 

@@ -20,13 +20,26 @@ if [ ! -d "$MODEL_DIR/$(basename "$SRC")" ]; then
   cp -al "$SRC" "$MODEL_DIR/" 2>/dev/null || cp -r "$SRC" "$MODEL_DIR/"
 fi
 
-python train.py exp=maestro22k_8s dset=maestro_allyears \
-  dset.path=/root/repo/runs/corpus22k \
-  model_dir="$MODEL_DIR" \
-  exp.total_its=$TOTAL_ITS \
-  logging.save_interval=2500 logging.remove_last_checkpoint=False \
-  logging.heavy_log_interval=5000 logging.log_interval=100 \
-  logging.print_model_summary=False $EXTRA >> "$LOG" 2>&1 &
-PID=$!
-echo "$PID" > /tmp/ab_${ARM}.pid
-echo "[ab] launched $ARM arm pid=$PID total_its=$TOTAL_ITS extra='$EXTRA'" | tee -a "$LOG"
+# Relaunch-on-exit loop (remote compile can fail transiently with
+# "response body closed" — the verify notes say retry; exp.resume=True makes
+# every relaunch lossless up to checkpoint cadence). Never signals the
+# trainer: the single-tenant tunnel wedges if a client dies mid-attach.
+DONE_CKPT="$MODEL_DIR/22k_8s-$TOTAL_ITS.ckpt"
+(
+  while [ ! -d "$DONE_CKPT" ]; do
+    python train.py exp=maestro22k_8s dset=maestro_allyears \
+      dset.path=/root/repo/runs/corpus22k \
+      model_dir="$MODEL_DIR" \
+      exp.total_its=$TOTAL_ITS \
+      logging.save_interval=2500 logging.remove_last_checkpoint=False \
+      logging.heavy_log_interval=5000 logging.log_interval=100 \
+      logging.print_model_summary=False $EXTRA >> "$LOG" 2>&1
+    rc=$?
+    echo "[ab] trainer exited rc=$rc $(date -u +%FT%TZ)" >> "$LOG"
+    [ -d "$DONE_CKPT" ] && break
+    sleep 20
+  done
+  echo "[ab] $ARM arm complete ($DONE_CKPT)" >> "$LOG"
+) &
+echo "$!" > /tmp/ab_${ARM}.pid
+echo "[ab] supervisor pid=$(cat /tmp/ab_${ARM}.pid) total_its=$TOTAL_ITS extra='$EXTRA'" | tee -a "$LOG"

@@ -106,6 +106,11 @@ def main():
     ckpts = sorted(
         glob.glob(os.path.join(model_dir, f"{args.exp.exp_name}-*.ckpt")),
         key=lambda q: int(re.findall(r"-(\d+)\.ckpt$", q)[0]))
+    only = os.environ.get("EVAL_ITS", "")  # e.g. "22500,25000" to subset
+    if only:
+        keep = {int(v) for v in only.split(",") if v}
+        ckpts = [c for c in ckpts
+                 if int(re.findall(r"-(\d+)\.ckpt$", c)[0]) in keep]
     assert ckpts, f"no checkpoints under {model_dir}"
     wav_dir = os.environ.get("EVAL_WAV_DIR", "")
 
@@ -131,10 +136,10 @@ def main():
     print(f"{'masked':>8} {base_snr:>11.2f} {base_lsd:>9.3f} {base_fad:>8.3f}"
           "  (degraded-input floor)")
 
-    import orbax.checkpoint as ocp
+    from aid_tpu.utils import ckpt_io
     for ck in ckpts:
         it = int(re.findall(r"-(\d+)\.ckpt$", ck)[0])
-        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(ck))
+        restored = ckpt_io.load(ck)
         # EMA weights, like the reference tester (tester_inpainting.py:195-202)
         bundle.params = restored.get("ema", restored.get("network"))
         rec = run_all(jax.random.PRNGKey(1234))

@@ -68,8 +68,8 @@ def main():
         from aid_tpu.utils import checkpoint_torch as cvt
         bundle.params = cvt.load_reference_checkpoint(ckpt, bundle)
     else:
-        import orbax.checkpoint as ocp
-        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt))
+        from aid_tpu.utils import ckpt_io
+        restored = ckpt_io.load(ckpt)
         bundle.params = restored.get("ema", restored.get("network"))
 
     wav_dir = os.environ.get("EVAL_WAV_DIR", "")

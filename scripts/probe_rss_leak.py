@@ -62,6 +62,8 @@ def main():
         metrics = tr.train_step(audio, fs)
         if it % every == 0:
             tr.easy_logging(metrics)  # full logging tier, incl. the png
+            if os.environ.get("PROBE_TRIM"):
+                tr._trim_host_heap()   # mirror training_loop's log-cadence trim
             m = rss_mb()
             if base is None:
                 base = m

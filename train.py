@@ -61,6 +61,18 @@ def main() -> int:
     # entry flips it on unless the user explicitly chose.
     if not any(o.startswith("network.remat=") for o in overrides):
         args.network["remat"] = True
+    # Train in float32 unless the user explicitly chose. Round-5 A/B from the
+    # it-20000 flagship checkpoint (PARITY.md): bf16 compute drifts the
+    # pre-clip gradient-norm scale 0.2 -> O(100) with flat loss and then
+    # spikes 1e4-1e10 (bf16 output quantization noise amplified by the EDM
+    # 1/c_out^2 weighting at small sigma); the f32 continuation holds gnorm
+    # at O(0.1-1) and drops the loss immediately. Serving/bench keep the
+    # network config's bfloat16 default (the sampler has no such feedback
+    # loop and bf16 is ~1.4x faster).
+    if not any(o.startswith("network.compute_dtype=") for o in overrides):
+        args.network["compute_dtype"] = "float32"
+        print("[train] network.compute_dtype=float32 (training default; "
+              "override on the CLI for mixed-precision experiments)")
     return _main(args)
 
 
