@@ -37,13 +37,13 @@ class Tester:
         self.t = args.tester
         if in_training and bool(getattr(network.module, "remat", False)):
             # The trainer's module carries remat=True (train.py flips it on
-            # to fit flagship training in HBM). Sampling neither needs remat
-            # nor tolerates it on this backend: every PROVEN on-chip sampler
-            # program (eval ledger, bench) is remat-free, while the r4/r5
-            # in-training demos — the only remat'd sampler programs ever
-            # compiled — died axon-UNIMPLEMENTED. Demo with a remat-free
-            # clone of the same module; params are swapped in per call by
-            # sample_unconditional_ema, so nothing else changes.
+            # to fit flagship training in HBM). Sampling doesn't need remat —
+            # there is no backward pass to stash for in the uncond demo, and
+            # the serving/bench configs all run remat-free — so demo with a
+            # remat-free clone of the same module (params are swapped in per
+            # call by sample_unconditional_ema). Perf only; the r4/r5 demo
+            # UNIMPLEMENTED was the spectrogram's complex d2h, fixed in
+            # logging_utils._stft_mag_db.
             from aid_tpu.models.bundle import NetBundle
             network = NetBundle(network.module.clone(remat=False),
                                 params=network.params, name=network.name)

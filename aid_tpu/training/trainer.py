@@ -632,6 +632,37 @@ class Trainer:
         except Exception:
             pass  # non-glibc platforms: the watchdog cycle still bounds RSS
 
+    def _maybe_recycle_process(self, it: int) -> None:
+        """Planned self-restart when host RSS crosses ``exp.max_host_rss_gb``
+        (0 = off). The flagship run's host RSS grows without bound from
+        allocations OUTSIDE this code's control (measured ~0.65 GB/min on the
+        r5 run even with the trim/threshold/plot mitigations active —
+        consistent with device-client transfer buffering, not python/jax
+        state: live_arrays and tracemalloc stay flat). Rather than let the
+        kernel OOM-kill the process mid-anything, exit RIGHT AFTER a
+        successful (atomic) checkpoint save; the relaunch supervisor resumes
+        from that checkpoint with a fresh process. Deliberate, logged,
+        lossless."""
+        cap_gb = float(self.exp.get("max_host_rss_gb", 0) or 0)
+        if cap_gb <= 0:
+            return
+        rss_gb = 0.0
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        rss_gb = int(line.split()[1]) / 1024 ** 2
+                        break
+        except Exception:
+            return
+        if rss_gb > cap_gb:
+            print(f"[trainer] host RSS {rss_gb:.1f} GB > "
+                  f"exp.max_host_rss_gb={cap_gb:.0f} — recycling the process "
+                  f"after the it-{it} checkpoint (supervisor resumes)",
+                  flush=True)
+            sys.stdout.flush()
+            os._exit(0)
+
     def get_batch(self):
         """Next host batch: (audio [B,T] or [n_accum,B,T], fs [B])."""
         audio, fs = next(self.dset)
@@ -759,6 +790,7 @@ class Trainer:
             if self.save_model and it % self.save_interval == 0:
                 self.save_checkpoint()
                 self._trim_host_heap()
+                self._maybe_recycle_process(it)
             if it % self.heavy_log_interval == 0:
                 self.heavy_logging()
             if beat is not None:

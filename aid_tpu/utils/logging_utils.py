@@ -32,7 +32,12 @@ def _stft_mag_db(x: np.ndarray, n_fft: int = 1024, hop: int = 256) -> np.ndarray
     import jax.numpy as jnp
     from aid_tpu.ops import stft as stft_ops
     X = stft_ops.stft(jnp.asarray(x, jnp.float32)[None], n_fft, hop, n_fft)[0]
-    mag = np.abs(np.asarray(X)) + 1e-8
+    # |X| ON DEVICE before the transfer: d2h of a complex array is
+    # UNIMPLEMENTED on the axon TPU backend — this exact line (np.asarray of
+    # the complex STFT) was the r4/r5 heavy_logging demo killer: the sampler
+    # ran fine, uncond_0.wav was written, then the FIRST spectrogram's
+    # complex readback poisoned the backend (PARITY round 5).
+    mag = np.asarray(jnp.abs(X)) + 1e-8
     return 20.0 * np.log10(mag)
 
 
