@@ -79,11 +79,16 @@ class Tester:
             from aid_tpu.utils import checkpoint_torch
             params = checkpoint_torch.load_reference_checkpoint(
                 path, self.bundle)
-            self.bundle.params = params
+            self.bundle.params = jax.device_put(params)
             return True
         from aid_tpu.utils import ckpt_io
         restored = ckpt_io.load(path)
-        self.bundle.params = restored.get("ema", restored.get("network"))
+        # device_put ONCE: checkpoint leaves arrive as host numpy; leaving
+        # them uncommitted makes every jitted sampler call re-upload the
+        # ~745 MB parameter tree over the tunnel (~12 s/request — measured
+        # round 5, serve_bench single-gap 16.7 s vs 4.2 s after the commit)
+        self.bundle.params = jax.device_put(
+            restored.get("ema", restored.get("network")))
         return True
 
     def load_latest_checkpoint(self, model_dir: Optional[str] = None) -> bool:

@@ -787,12 +787,16 @@ class Trainer:
                           f"exp.skip_grad_factor", flush=True)
                 t0 = time.time()
                 self._trim_host_heap()
-            if self.save_model and it % self.save_interval == 0:
+            saved = self.save_model and it % self.save_interval == 0
+            if saved:
                 self.save_checkpoint()
                 self._trim_host_heap()
-                self._maybe_recycle_process(it)
             if it % self.heavy_log_interval == 0:
                 self.heavy_logging()
+            if saved:
+                # after heavy_logging: a recycle at a shared interval must
+                # not eat the demo (observed at it-40000, round 5)
+                self._maybe_recycle_process(it)
             if beat is not None:
                 beat[0] = time.time()
         if beat is not None:

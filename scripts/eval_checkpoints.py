@@ -141,7 +141,9 @@ def main():
         it = int(re.findall(r"-(\d+)\.ckpt$", ck)[0])
         restored = ckpt_io.load(ck)
         # EMA weights, like the reference tester (tester_inpainting.py:195-202)
-        bundle.params = restored.get("ema", restored.get("network"))
+        # device_put once: host-numpy params would re-upload per sampler call
+        bundle.params = jax.device_put(
+            restored.get("ema", restored.get("network")))
         rec = run_all(jax.random.PRNGKey(1234))
         snrs = [metrics.snr(clean[i, g], rec[i, g])
                 for i in range(clean.shape[0])]

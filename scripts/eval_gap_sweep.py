@@ -70,7 +70,9 @@ def main():
     else:
         from aid_tpu.utils import ckpt_io
         restored = ckpt_io.load(ckpt)
-        bundle.params = restored.get("ema", restored.get("network"))
+        # device_put once: host-numpy params would re-upload per sampler call
+        bundle.params = jax.device_put(
+            restored.get("ema", restored.get("network")))
 
     wav_dir = os.environ.get("EVAL_WAV_DIR", "")
     print(f"{'gap ms':>8} {'gap SNR dB':>11} {'gap LSD':>9}  per-clip SNR")

@@ -366,7 +366,8 @@ def test_stall_guard_exits_on_stale_heartbeat(trainer, monkeypatch):
 
     def fake_exit(code):
         calls.append(code)
-        raise SystemExit  # stop the guard thread in the test
+        trainer._stall_stop.set()  # retire the guard instead of raising —
+        # an exception here shows up as PytestUnhandledThreadExceptionWarning
 
     monkeypatch.setattr(os, "_exit", fake_exit)
     beat = trainer._start_stall_guard()
@@ -374,8 +375,8 @@ def test_stall_guard_exits_on_stale_heartbeat(trainer, monkeypatch):
     deadline = time.time() + 10
     while not calls and time.time() < deadline:
         time.sleep(0.05)
-    trainer._stall_stop.set()  # retire the guard thread
-    assert calls == [3]
+    trainer._stall_stop.set()
+    assert calls[0] == 3
 
 
 def test_stall_guard_disabled_and_heartbeat_keeps_it_quiet(trainer,
