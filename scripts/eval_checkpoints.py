@@ -144,7 +144,10 @@ def main():
         # device_put once: host-numpy params would re-upload per sampler call
         bundle.params = jax.device_put(
             restored.get("ema", restored.get("network")))
-        rec = run_all(jax.random.PRNGKey(1234))
+        # EVAL_SEED varies the sampler noise stream (seed-variance studies);
+        # the default 1234 keeps rows comparable checkpoint-over-checkpoint
+        rec = run_all(jax.random.PRNGKey(
+            int(os.environ.get("EVAL_SEED", "1234"))))
         snrs = [metrics.snr(clean[i, g], rec[i, g])
                 for i in range(clean.shape[0])]
         lsds = [metrics.lsd(clean[i, g], rec[i, g])
